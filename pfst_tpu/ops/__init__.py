@@ -1,0 +1,7 @@
+from .resize import adaptive_avg_pool_1x1, resize
+from .unfold import unfold_neighbors, unfold_valid_mask
+
+__all__ = [
+    'resize', 'adaptive_avg_pool_1x1', 'unfold_neighbors',
+    'unfold_valid_mask'
+]
