@@ -1,0 +1,215 @@
+"""Dataset/pipeline registries, dataset builder and data loader.
+
+Mirrors ``rsiseg/datasets/builder.py``: ``build_dataset`` special-cases
+the UDA pairing datasets and wrappers; ``build_dataloader`` replaces
+torchdata ``DataLoader2`` + ``DistributedSampler`` with a
+thread-pool-prefetched, epoch-shuffled, per-host-sharded iterator that
+yields fixed-shape numpy batches ready for ``jax.device_put``.
+"""
+from __future__ import annotations
+
+import copy
+import math
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..utils.registry import Registry
+
+DATASETS = Registry('datasets')
+PIPELINES = Registry('pipelines')
+
+
+def _concat(datasets, separate_eval=True):
+    from .dataset_wrappers import ConcatDataset
+    return ConcatDataset(datasets, separate_eval)
+
+
+def build_dataset(cfg, default_args=None):
+    """Build a dataset (handles UDA pairing + wrappers like
+    ``datasets/builder.py:70-98``)."""
+    from .dataset_wrappers import (ConcatDataset, MultiDomainDataset,
+                                   RepeatDataset)
+    from .uda_dataset import UDADataset
+    from .uda_dataset_v2 import UDADatasetV2
+    if isinstance(cfg, (list, tuple)):
+        return _concat([build_dataset(c, default_args) for c in cfg])
+    cfg = copy.deepcopy(dict(cfg))
+    dtype = cfg.get('type')
+    if dtype == 'UDADataset':
+        return UDADataset(
+            source=build_dataset(cfg['source'], default_args),
+            target=build_dataset(cfg['target'], default_args),
+            cfg=cfg)
+    if dtype == 'UDADatasetV2':
+        return UDADatasetV2(
+            source=build_dataset(cfg['source'], default_args),
+            target=build_dataset(cfg['target'], default_args),
+            cfg=cfg)
+    if dtype == 'MultiDomainDataset':
+        datasets = [build_dataset(c, default_args)
+                    for c in cfg['datasets']]
+        return MultiDomainDataset(datasets, cfg)
+    if dtype == 'RepeatDataset':
+        return RepeatDataset(
+            build_dataset(cfg['dataset'], default_args), cfg['times'])
+    if dtype == 'ConcatDataset':
+        return _concat([build_dataset(c, default_args)
+                        for c in cfg['datasets']],
+                       cfg.get('separate_eval', True))
+    if isinstance(cfg.get('img_dir'), (list, tuple)) or \
+            isinstance(cfg.get('split'), (list, tuple)):
+        return _concat(_split_multi_image_dir(cfg, default_args))
+    if default_args:
+        for k, v in default_args.items():
+            cfg.setdefault(k, v)
+    return DATASETS.build(cfg)
+
+
+def _split_multi_image_dir(cfg, default_args):
+    """Expand list-valued img_dir/ann_dir/split into one dataset each."""
+    datasets = []
+    img_dirs = cfg['img_dir'] if isinstance(cfg['img_dir'], (list, tuple)) \
+        else [cfg['img_dir']]
+    ann_dirs = cfg.get('ann_dir')
+    ann_dirs = ann_dirs if isinstance(ann_dirs, (list, tuple)) \
+        else [ann_dirs] * len(img_dirs)
+    splits = cfg.get('split')
+    splits = splits if isinstance(splits, (list, tuple)) \
+        else [splits] * len(img_dirs)
+    for img_dir, ann_dir, split in zip(img_dirs, ann_dirs, splits):
+        c = copy.deepcopy(cfg)
+        c['img_dir'], c['ann_dir'], c['split'] = img_dir, ann_dir, split
+        datasets.append(build_dataset(c, default_args))
+    return datasets
+
+
+class DataLoader:
+    """Shuffled, sharded, prefetched batch iterator.
+
+    Per-host sharding mirrors ``DistributedSampler``: rank r of world w
+    takes indices ``r::w`` of the (seeded) permutation; epochs reshuffle
+    with seed+epoch like the reference's cross-rank-synced sampler
+    (``samplers/distributed_sampler.py:12-69``).
+    """
+
+    def __init__(self,
+                 dataset,
+                 samples_per_gpu: int = 2,
+                 workers_per_gpu: int = 2,
+                 num_gpus: int = 1,
+                 shuffle: bool = True,
+                 seed: int = 0,
+                 drop_last: Optional[bool] = None,
+                 rank: int = 0,
+                 world_size: int = 1,
+                 infinite: bool = False,
+                 pin_memory: bool = False):
+        self.dataset = dataset
+        self.batch_size = samples_per_gpu * num_gpus
+        self.num_workers = max(1, workers_per_gpu * num_gpus)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.infinite = infinite
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.world_size
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            g = np.random.RandomState(self.seed + epoch)
+            idx = g.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.rank::self.world_size]
+
+    def _iter_epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._epoch_indices(epoch)
+        nb = len(indices) // self.batch_size if self.drop_last else \
+            math.ceil(len(indices) / self.batch_size)
+        # prefetch with a small thread pool: IO + cv2 release the GIL
+        q: 'queue.Queue' = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for bi in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = indices[bi * self.batch_size:(bi + 1) *
+                                  self.batch_size]
+                    samples = [self.dataset[int(i)] for i in sel]
+                    q.put(collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        if self.infinite:
+            epoch = self.epoch
+            while True:
+                yield from self._iter_epoch(epoch)
+                epoch += 1
+        else:
+            yield from self._iter_epoch(self.epoch)
+            self.epoch += 1
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack same-shaped arrays; keep metas as lists."""
+    batch: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+def build_dataloader(dataset,
+                     samples_per_gpu,
+                     workers_per_gpu,
+                     num_gpus=1,
+                     dist=False,
+                     shuffle=True,
+                     seed=None,
+                     drop_last=False,
+                     pin_memory=True,
+                     persistent_workers=False,
+                     rank=0,
+                     world_size=1,
+                     infinite=False,
+                     **kwargs):
+    """Public builder (signature mirrors ``datasets/builder.py:100``)."""
+    return DataLoader(
+        dataset,
+        samples_per_gpu=samples_per_gpu,
+        workers_per_gpu=workers_per_gpu,
+        num_gpus=1,
+        shuffle=shuffle,
+        seed=seed or 0,
+        drop_last=drop_last or shuffle,
+        rank=rank,
+        world_size=world_size,
+        infinite=infinite)

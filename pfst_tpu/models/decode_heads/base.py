@@ -40,8 +40,13 @@ class ClsSeg(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dropout_ratio > 0:
+            # dropout is active only when a 'dropout' rng is supplied:
+            # the EMA teacher runs train-mode BN with frozen dropout
+            # (reference ``pfgst.py:247-251`` freezes _DropoutNd only)
+            # simply by not passing the rng.
+            deterministic = (not train) or (not self.has_rng('dropout'))
             x = nn.Dropout(rate=self.dropout_ratio,
-                           deterministic=not train)(x)
+                           deterministic=deterministic)(x)
         return nn.Conv(
             self.num_classes, (1, 1),
             kernel_init=nn.initializers.normal(stddev=0.01),

@@ -1,6 +1,7 @@
 from .accuracy import accuracy
 from .cross_entropy_loss import (CrossEntropyLoss, binary_cross_entropy,
                                  cross_entropy)
+from .pfgst_loss import PFGSTLoss
 from .utils import (get_class_weight, masked_mean, masked_std, reduce_loss,
                     weight_reduce_loss)
 

@@ -1,0 +1,267 @@
+"""PFGST: pseudo-features guided self-training (the shipped algorithm).
+
+TPU-native re-design of ``rsiseg/models/uda/pfgst.py:54-368``.  One
+training iteration — EMA teacher update, source supervised pass,
+teacher pseudo-labeling on the target batch, confidence weighting,
+ClassMix + color-jitter/blur strong augmentation, mixed-pass training
+and the PFGST neighborhood-similarity losses — compiles into a single
+jitted function of the immutable train state.  The reference executes
+this as Python orchestration over three nn.Modules with per-sample
+loops and host syncs; the fused step is where the TPU throughput comes
+from.
+
+Loss accounting matches ``BaseSegmentor._parse_losses``
+(``segmentors/base.py:177-222``): every returned key containing
+``loss`` sums into the total; all scalars are logged.
+"""
+from __future__ import annotations
+
+import copy
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.misc import add_prefix
+from ..builder import UDA, build_loss
+from ..utils.dacs_transforms import get_class_masks, strong_transform
+from .uda_decorator import UDADecorator, UDATrainState
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]):
+    """Sum '*loss*' keys -> total; everything scalar goes to log_vars."""
+    log_vars = {}
+    total = 0.0
+    for name, value in losses.items():
+        if name.startswith('vis|'):
+            continue
+        value = jnp.mean(value)
+        log_vars[name] = value
+        if 'loss' in name:
+            total = total + value
+    return total, log_vars
+
+
+@UDA.register_module()
+class PFGST(UDADecorator):
+    """The PFST paper's algorithm (cfg surface mirrors ``pfgst.py:56``)."""
+
+    def __init__(self, **cfg):
+        super().__init__(**cfg)
+        self.alpha = cfg['alpha']
+        self.pseudo_threshold = cfg['pseudo_threshold']
+        self.psweight_ignore_top = cfg.get('pseudo_weight_ignore_top', 0)
+        self.psweight_ignore_bottom = cfg.get(
+            'pseudo_weight_ignore_bottom', 0)
+        self.fdist_lambda = cfg.get('imnet_feature_dist_lambda', 0)
+        self.enable_fdist = self.fdist_lambda > 0
+        self.mix = cfg.get('mix', 'class')
+        self.blur = cfg.get('blur', True)
+        self.color_jitter_s = cfg.get('color_jitter_strength', 0.2)
+        self.color_jitter_p = cfg.get('color_jitter_probability', 0.2)
+        self.trg_loss_weight = cfg.get('trg_loss_weight', 1.0)
+        self.use_decoded_feats = cfg.get('use_decoded_feats', False)
+        self.thre_type = cfg.get('thre_type', 'all')
+        self.strong_aug_denorm_type = cfg.get('strong_aug_denorm_type',
+                                              'mean_std')
+        self.apply_no_mix = cfg.get('apply_no_mix', False)
+        assert self.mix == 'class'
+        aux_losses = cfg.get('aux_losses', None)
+        if aux_losses is not None and not isinstance(aux_losses, (list,
+                                                                  tuple)):
+            aux_losses = [aux_losses]
+        self.aux_losses = [build_loss(dict(l)) for l in (aux_losses or [])]
+        self.apply_aux = bool(self.aux_losses)
+
+    # ------------------------------------------------------------------
+    def forward_train(self, params, batch_stats, ema_params,
+                      ema_batch_stats, step, batch, rng,
+                      mean, std, collect_vis: bool = False):
+        """One PFGST iteration's loss (pure; differentiated wrt params).
+
+        Mirrors ``pfgst.py:179-356``.  Returns (total_loss, aux_out).
+        """
+        model = self.model
+        img = batch['img']
+        gt = batch['gt_semantic_seg'].astype(jnp.int32)
+        target_img = batch['target_img']
+        target_img_strong = batch.get('target_img_strong_aug', target_img)
+        b, h, w, _ = img.shape
+
+        (k_drop_src, k_drop_mix, k_mix, k_gate_j, k_gate_b,
+         k_strong) = jax.random.split(rng, 6)
+
+        log_vars: Dict[str, jnp.ndarray] = {}
+        vis_states: Dict[str, Any] = {}
+
+        # ---- source supervised pass (``pfgst.py:225-237``) -----------
+        (clean_losses, clean_states), updates = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, img, gt,
+            train=True, mutable=['batch_stats'],
+            rngs={'dropout': k_drop_src},
+            method=model.forward_train)
+        bs1 = updates['batch_stats']
+        src_feats = clean_states['decoded_features'] \
+            if self.use_decoded_feats else clean_states['features']
+        src_logits = clean_states['seg_logits']
+        clean_loss, clean_log = parse_losses(clean_losses)
+        log_vars.update(clean_log)
+        total_loss = clean_loss
+
+        # ---- teacher pseudo-labels (``pfgst.py:247-268``) -------------
+        # train-mode BN (batch statistics of the target batch), dropout
+        # frozen (no dropout rng), stats not persisted.
+        (ema_logits, ema_states), _ = model.apply(
+            {'params': jax.lax.stop_gradient(ema_params),
+             'batch_stats': ema_batch_stats},
+            target_img, train=True, mutable=['batch_stats'],
+            method=model.encode_decode)
+        ema_logits = jax.lax.stop_gradient(ema_logits)
+        ema_feats = jax.lax.stop_gradient(
+            ema_states['decoded_features'] if self.use_decoded_feats
+            else ema_states['feats'])
+
+        ema_softmax = jax.nn.softmax(ema_logits, axis=-1)
+        pseudo_prob = jnp.max(ema_softmax, axis=-1)      # (B,H,W)
+        pseudo_label = jnp.argmax(ema_softmax, axis=-1).astype(jnp.int32)
+        ps_large_p = (pseudo_prob >= self.pseudo_threshold)
+        if self.thre_type == 'all':
+            frac = jnp.mean(ps_large_p.astype(jnp.float32))
+            pseudo_weight = jnp.full_like(pseudo_prob, 1.0) * frac
+        elif self.thre_type == 'part':
+            pseudo_weight = ps_large_p.astype(jnp.float32)
+        else:
+            raise ValueError(self.thre_type)
+        if self.psweight_ignore_top > 0:
+            rows = jnp.arange(h)[None, :, None]
+            pseudo_weight = jnp.where(rows < self.psweight_ignore_top,
+                                      0.0, pseudo_weight)
+        if self.psweight_ignore_bottom > 0:
+            rows = jnp.arange(h)[None, :, None]
+            pseudo_weight = jnp.where(
+                rows >= h - self.psweight_ignore_bottom, 0.0,
+                pseudo_weight)
+
+        # ---- ClassMix + strong aug (``pfgst.py:280-300``) -------------
+        if self.apply_no_mix:
+            mix_masks = jnp.zeros((b, h, w), jnp.float32)
+            trg_img = target_img
+        else:
+            mix_masks = get_class_masks(k_mix, gt, self.num_classes)
+            trg_img = target_img_strong
+        jitter_gate = jax.random.uniform(k_gate_j, ())
+        blur_gate = jax.random.uniform(k_gate_b, ()) if self.blur \
+            else jnp.zeros(())
+        sample_keys = jax.random.split(k_strong, b)
+
+        def per_sample(key, m, im_s, im_t, g, pl, pw):
+            mixed_img, mixed_lbl = strong_transform(
+                key, m,
+                data_pair=(im_s, im_t),
+                target_pair=(g.astype(jnp.float32),
+                             pl.astype(jnp.float32)),
+                jitter_gate=jitter_gate, blur_gate=blur_gate,
+                color_jitter_s=self.color_jitter_s,
+                color_jitter_p=self.color_jitter_p,
+                mean=mean, std=std,
+                denorm_type=self.strong_aug_denorm_type)
+            _, mixed_w = strong_transform(
+                key, m, target_pair=(jnp.ones_like(pw), pw))
+            return mixed_img, mixed_lbl, mixed_w
+
+        mixed_img, mixed_lbl, pseudo_weight = jax.vmap(per_sample)(
+            sample_keys, mix_masks, img, trg_img,
+            gt, pseudo_label, pseudo_weight)
+        mixed_lbl = mixed_lbl.astype(jnp.int32)
+
+        # ---- mixed-pass training (``pfgst.py:303-310``) ---------------
+        (mix_losses, mix_states), updates = model.apply(
+            {'params': params, 'batch_stats': bs1}, mixed_img, mixed_lbl,
+            pseudo_weight, train=True, mutable=['batch_stats'],
+            rngs={'dropout': k_drop_mix}, method=model.forward_train)
+        new_batch_stats = updates['batch_stats']
+        mixed_feats = mix_states['features']
+        mixed_logits = mix_states['seg_logits']
+        mix_loss, mix_log = parse_losses(add_prefix(mix_losses, 'mix'))
+        log_vars.update(mix_log)
+        total_loss = total_loss + mix_loss * self.trg_loss_weight
+
+        # ---- aux (PFGST) losses (``pfgst.py:312-342``) -----------------
+        if self.apply_aux:
+            tensors = dict(
+                img_src=img,
+                img_trg=mixed_img,
+                img_mixed=mixed_img,
+                gt_src=gt,
+                x_src=src_feats,
+                x_ema=ema_feats,
+                x_trg=mixed_feats,
+                logits_src=src_logits,
+                logits_trg=mixed_logits,
+                logits_ema=ema_logits,
+                mix_masks=mix_masks,
+                pseudo_weight=pseudo_weight,
+            )
+            aux_losses: Dict[str, jnp.ndarray] = {}
+            for loss_mod in self.aux_losses:
+                out = loss_mod(tensors)
+                if out is not None:
+                    aux_losses.update(out)
+            for name in list(aux_losses):
+                if name.startswith('vis|'):
+                    if collect_vis:
+                        vis_states[name] = aux_losses[name]
+                    aux_losses.pop(name)
+            aux_total, aux_log = parse_losses(aux_losses)
+            log_vars.update(aux_log)
+            total_loss = total_loss + aux_total
+
+        if collect_vis:
+            vis_w = pseudo_weight[..., None]
+            vis_lbl = jnp.where(vis_w[..., 0] > 0.0, mixed_lbl, 255)
+            vis_states['vis|seg_mask_src'] = (
+                img, gt, jnp.argmax(src_logits, axis=-1))
+            vis_states['vis|seg_mask_mix'] = (
+                mixed_img, vis_lbl, jnp.argmax(mixed_logits, axis=-1))
+
+        aux_out = dict(log_vars=log_vars, batch_stats=new_batch_stats,
+                       vis_states=vis_states)
+        return total_loss, aux_out
+
+    # ------------------------------------------------------------------
+    def make_train_step(self, tx, mean, std, collect_vis: bool = False,
+                        donate: bool = True):
+        """Build the fused jitted train step: state, batch, rng -> ...
+
+        ``tx`` is the optax transform; ``mean``/``std`` the dataset's
+        img_norm (arrays of shape (3,)).
+        """
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
+
+        def step_fn(state: UDATrainState, batch, rng):
+            state = self.ema_update(state, self.alpha)
+
+            def loss_fn(params):
+                return self.forward_train(
+                    params, state.batch_stats, state.ema_params,
+                    state.ema_batch_stats, state.step, batch, rng,
+                    mean, std, collect_vis=collect_vis)
+
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            log_vars = dict(aux['log_vars'])
+            log_vars['loss'] = total
+            new_state = state.replace(
+                params=new_params,
+                batch_stats=aux['batch_stats'],
+                opt_state=new_opt,
+                step=state.step + 1)
+            return new_state, log_vars, aux['vis_states']
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
