@@ -1,0 +1,168 @@
+"""Loading transforms.
+
+Mirrors ``rsiseg/datasets/pipelines/loading.py``: image/annotation
+readers plus the pseudo-label loaders that consume the offline
+pseudo-label generator's h5 dumps (``loading.py:393-525``).
+"""
+from __future__ import annotations
+
+import os.path as osp
+
+import cv2
+import numpy as np
+
+from ..builder import PIPELINES
+
+
+def imread(path: str, color: bool = True, unchanged: bool = False):
+    """cv2 read keeping mmcv's BGR convention for color images."""
+    if unchanged:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    elif color:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+    else:
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(f'failed to read image: {path}')
+    return img
+
+
+@PIPELINES.register_module()
+class LoadImageFromFile:
+    """(``loading.py:15``) loads BGR uint8 (or as-is for TIFF)."""
+
+    def __init__(self, to_float32=False, color_type='color',
+                 imdecode_backend='cv2'):
+        self.to_float32 = to_float32
+        self.color_type = color_type
+
+    def __call__(self, results):
+        if results.get('img_prefix') is not None:
+            filename = osp.join(results['img_prefix'],
+                                results['img_info']['filename'])
+        else:
+            filename = results['img_info']['filename']
+        img = imread(filename, unchanged=self.color_type == 'unchanged')
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['filename'] = filename
+        results['ori_filename'] = results['img_info']['filename']
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['ori_shape'] = img.shape
+        results['pad_shape'] = img.shape
+        results['scale_factor'] = 1.0
+        num_channels = 1 if len(img.shape) < 3 else img.shape[2]
+        results['img_norm_cfg'] = dict(
+            mean=np.zeros(num_channels, dtype=np.float32),
+            std=np.ones(num_channels, dtype=np.float32),
+            to_rgb=False)
+        results['img_fields'] = ['img']
+        results.setdefault('seg_fields', [])
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(to_float32={self.to_float32})'
+
+
+@PIPELINES.register_module()
+class LoadAnnotations:
+    """(``loading.py:101``) loads the label map, applies label_map and
+    reduce_zero_label (0->255, x->x-1)."""
+
+    def __init__(self, reduce_zero_label=False, imdecode_backend=None):
+        self.reduce_zero_label = reduce_zero_label
+
+    def __call__(self, results):
+        if results.get('seg_prefix', None) is not None:
+            filename = osp.join(results['seg_prefix'],
+                                results['ann_info']['seg_map'])
+        else:
+            filename = results['ann_info']['seg_map']
+        gt = imread(filename, unchanged=True)
+        if gt.ndim == 3:
+            gt = gt[..., 0]
+        gt = gt.astype(np.uint8)
+        if results.get('label_map', None) is not None:
+            out = gt.copy()
+            for old_id, new_id in results['label_map'].items():
+                out[gt == old_id] = new_id
+            gt = out
+        if self.reduce_zero_label:
+            gt[gt == 0] = 255
+            gt = gt - 1
+            gt[gt == 254] = 255
+        results['gt_semantic_seg'] = gt
+        results['seg_fields'].append('gt_semantic_seg')
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}'
+                f'(reduce_zero_label={self.reduce_zero_label})')
+
+
+@PIPELINES.register_module()
+class LoadAnnotationsPseudoLabelsV2(LoadAnnotations):
+    """Target-domain pseudo-label loader (``loading.py:393-525``).
+
+    With ``pseudo_labels_dir=None`` (all shipped configs) it emits an
+    all-255 dummy label so the target branch has the same keys as the
+    source branch.  With a directory set, per-image h5 files written by
+    the offline pseudo-label generator (``tools/gen_pseudo_labels.py``)
+    are read: stored logits -> softmax -> per-class entropy thresholding
+    at the requested ``pseudo_ratio`` -> labels with 255 elsewhere.
+    """
+
+    def __init__(self, pseudo_labels_dir=None, pseudo_ratio=0.0,
+                 load_feats=False, reduce_zero_label=False, **kwargs):
+        super().__init__(reduce_zero_label=reduce_zero_label)
+        self.pseudo_labels_dir = pseudo_labels_dir
+        self.pseudo_ratio = pseudo_ratio
+        self.load_feats = load_feats
+
+    def __call__(self, results):
+        h, w = results['img'].shape[:2]
+        if self.pseudo_labels_dir is None:
+            gt = np.full((h, w), 255, np.uint8)
+            results['gt_semantic_seg'] = gt
+            results['seg_fields'].append('gt_semantic_seg')
+            return results
+        import h5py
+        name = osp.splitext(osp.basename(results['filename']))[0]
+        path = osp.join(self.pseudo_labels_dir, f'{name}.h5')
+        with h5py.File(path, 'r') as f:
+            logits = np.asarray(f['seg_logits'], np.float32)  # (C,H,W)
+            thre_key = f'thre@{self.pseudo_ratio}'
+            thresholds = np.asarray(f[thre_key], np.float32) \
+                if thre_key in f else None
+            if self.load_feats and 'feats' in f:
+                results['pseudo_feats'] = np.asarray(f['feats'])
+        e = np.exp(logits - logits.max(0, keepdims=True))
+        prob = e / e.sum(0, keepdims=True)
+        label = prob.argmax(0).astype(np.uint8)
+        if thresholds is not None:
+            entropy = -(prob * np.log(prob + 1e-12)).sum(0)
+            keep = entropy <= thresholds[label]
+            label = np.where(keep, label, 255).astype(np.uint8)
+        if label.shape != (h, w):
+            label = cv2.resize(label, (w, h),
+                               interpolation=cv2.INTER_NEAREST)
+        results['gt_semantic_seg'] = label
+        results['seg_fields'].append('gt_semantic_seg')
+        return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotationsPseudoLabels(LoadAnnotationsPseudoLabelsV2):
+    """V1 loader (``loading.py:310``) — same public behavior."""
+
+
+@PIPELINES.register_module()
+class AnnotationMapperInria:
+    """Inria building labels 255 -> 1 (``loading.py:172``)."""
+
+    def __call__(self, results):
+        gt = results['gt_semantic_seg']
+        gt = (gt > 127).astype(np.uint8)
+        results['gt_semantic_seg'] = gt
+        return results

@@ -1,0 +1,544 @@
+"""Host-side geometric/photometric transforms (numpy + cv2).
+
+Mirrors ``rsiseg/datasets/pipelines/transforms.py`` and ``rsi_aug.py``:
+the training pipeline runs on CPU feeder threads producing static-shape
+512^2 patches; everything that benefits from the TPU (ClassMix, jitter,
+blur of the UDA step) lives in ``models/utils/dacs_transforms.py``
+instead.
+
+Semantics preserved: Resize ratio_range jitter + keep_ratio rescale,
+RandomCrop ``cat_max_ratio`` re-crop (<=75% single class, 10 attempts,
+records ``crop_bbox``), RandomFlip recording direction, RandomRotate90
+recording ``rotate_k``, Pad to static size with seg_pad_val=255,
+PhotoMetricDistortion ranges/order, StrongAugmentation writing a second
+``img_strong_aug`` view, ClipNormalize mean±2std clipping for uint16
+imagery (SeasonNet).
+"""
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+from ..builder import PIPELINES
+
+
+def imresize(img, size_wh, interpolation='bilinear'):
+    inter = {'bilinear': cv2.INTER_LINEAR, 'nearest': cv2.INTER_NEAREST,
+             'bicubic': cv2.INTER_CUBIC}[interpolation]
+    return cv2.resize(img, size_wh, interpolation=inter)
+
+
+def imrescale(img, scale, interpolation='bilinear'):
+    """Resize keeping aspect so the image fits within ``scale`` (max
+    long/short edge rule of mmcv.imrescale)."""
+    h, w = img.shape[:2]
+    if isinstance(scale, (int, float)):
+        factor = scale
+    else:
+        max_long, max_short = max(scale), min(scale)
+        factor = min(max_long / max(h, w), max_short / min(h, w))
+    new_size = (int(w * factor + 0.5), int(h * factor + 0.5))
+    return imresize(img, new_size, interpolation), factor
+
+
+@PIPELINES.register_module()
+class Resize:
+    """(``transforms.py:12``) multi-scale resize with ratio jitter."""
+
+    def __init__(self, img_scale=None, multiscale_mode='range',
+                 ratio_range=None, keep_ratio=True,
+                 min_size=None, override_scale=False):
+        if img_scale is None:
+            self.img_scale = None
+        elif isinstance(img_scale, list):
+            self.img_scale = [tuple(s) for s in img_scale]
+        else:
+            self.img_scale = [tuple(img_scale)]
+        self.multiscale_mode = multiscale_mode
+        self.ratio_range = ratio_range
+        self.keep_ratio = keep_ratio
+        self.min_size = min_size
+        self.override_scale = override_scale
+
+    def _random_scale(self, results):
+        if self.ratio_range is not None:
+            if self.img_scale is None:
+                h, w = results['img'].shape[:2]
+                base = (w, h)
+            else:
+                base = self.img_scale[0]
+            lo, hi = self.ratio_range
+            ratio = np.random.random_sample() * (hi - lo) + lo
+            scale = (int(base[0] * ratio), int(base[1] * ratio))
+        elif len(self.img_scale) == 1:
+            scale = self.img_scale[0]
+        elif self.multiscale_mode == 'range':
+            long_edges = [max(s) for s in self.img_scale]
+            short_edges = [min(s) for s in self.img_scale]
+            long_e = np.random.randint(min(long_edges),
+                                       max(long_edges) + 1)
+            short_e = np.random.randint(min(short_edges),
+                                        max(short_edges) + 1)
+            scale = (long_e, short_e)
+        else:  # 'value'
+            scale = self.img_scale[np.random.randint(len(self.img_scale))]
+        results['scale'] = scale
+
+    def __call__(self, results):
+        if 'scale' not in results or self.override_scale:
+            self._random_scale(results)
+        img = results['img']
+        if self.keep_ratio:
+            img, factor = imrescale(img, results['scale'])
+            scale_factor = np.array([factor, factor, factor, factor],
+                                    np.float32)
+        else:
+            wq, hq = results['scale']
+            h, w = img.shape[:2]
+            img = imresize(img, (wq, hq))
+            scale_factor = np.array([wq / w, hq / h, wq / w, hq / h],
+                                    np.float32)
+        results['img'] = img
+        results['img_shape'] = img.shape
+        results['pad_shape'] = img.shape
+        results['scale_factor'] = scale_factor
+        results['keep_ratio'] = self.keep_ratio
+        size_wh = (img.shape[1], img.shape[0])
+        for key in results.get('seg_fields', []):
+            results[key] = imresize(results[key], size_wh, 'nearest')
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(img_scale={self.img_scale}, '
+                f'ratio_range={self.ratio_range}, '
+                f'keep_ratio={self.keep_ratio})')
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    """(``transforms.py:645-737``) crop with single-class cap."""
+
+    def __init__(self, crop_size, cat_max_ratio=1.0, ignore_index=255):
+        assert crop_size[0] > 0 and crop_size[1] > 0
+        self.crop_size = tuple(crop_size)
+        self.cat_max_ratio = cat_max_ratio
+        self.ignore_index = ignore_index
+
+    def get_crop_bbox(self, img):
+        margin_h = max(img.shape[0] - self.crop_size[0], 0)
+        margin_w = max(img.shape[1] - self.crop_size[1], 0)
+        offset_h = np.random.randint(0, margin_h + 1)
+        offset_w = np.random.randint(0, margin_w + 1)
+        return (offset_h, offset_h + self.crop_size[0],
+                offset_w, offset_w + self.crop_size[1])
+
+    @staticmethod
+    def crop(img, bbox):
+        y1, y2, x1, x2 = bbox
+        return img[y1:y2, x1:x2, ...]
+
+    def __call__(self, results):
+        img = results['img']
+        crop_bbox = self.get_crop_bbox(img)
+        if self.cat_max_ratio < 1.0 and 'gt_semantic_seg' in results:
+            for _ in range(10):
+                seg = self.crop(results['gt_semantic_seg'], crop_bbox)
+                labels, cnt = np.unique(seg, return_counts=True)
+                cnt = cnt[labels != self.ignore_index]
+                if len(cnt) > 1 and \
+                        cnt.max() / cnt.sum() < self.cat_max_ratio:
+                    break
+                crop_bbox = self.get_crop_bbox(img)
+        results['img'] = self.crop(img, crop_bbox)
+        results['img_shape'] = results['img'].shape
+        results['crop_bbox'] = crop_bbox
+        for key in results.get('seg_fields', []):
+            results[key] = self.crop(results[key], crop_bbox)
+        for key in results.get('img_fields', []):
+            if key != 'img':
+                results[key] = self.crop(results[key], crop_bbox)
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(crop_size={self.crop_size})'
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    """(``transforms.py:263``) records flip + direction."""
+
+    def __init__(self, prob=None, flip_ratio=None,
+                 direction='horizontal'):
+        self.prob = prob if prob is not None else flip_ratio
+        assert direction in ('horizontal', 'vertical')
+        self.direction = direction
+
+    def __call__(self, results):
+        if 'flip' not in results or True:
+            flip = np.random.rand() < (self.prob or 0)
+        if flip:
+            axis = 1 if self.direction == 'horizontal' else 0
+            for key in results.get('img_fields', ['img']):
+                results[key] = np.flip(results[key], axis=axis).copy()
+            for key in results.get('seg_fields', []):
+                results[key] = np.flip(results[key], axis=axis).copy()
+        # accumulate directions like consecutive RandomFlips in the
+        # reference pipelines (vertical then horizontal)
+        prev = results.get('flip_direction')
+        if flip:
+            if isinstance(prev, list):
+                prev = prev + [self.direction]
+            elif isinstance(prev, str):
+                prev = [prev, self.direction]
+            else:
+                prev = self.direction
+        results['flip'] = bool(results.get('flip', False) or flip)
+        results['flip_direction'] = prev
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(prob={self.prob}, '
+                f'direction={self.direction})')
+
+
+@PIPELINES.register_module()
+class RandomRotate90:
+    """(``rsi_aug.py:30``) rotate by k*90 degrees, records ``rotate_k``."""
+
+    def __init__(self, prob=1.0):
+        self.prob = prob
+
+    def __call__(self, results):
+        rot_k = 0
+        if np.random.rand() < self.prob:
+            rot_k = int(np.random.choice([0, 1, 2, 3]))
+            if rot_k:
+                for key in results.get('img_fields', ['img']):
+                    results[key] = np.ascontiguousarray(
+                        np.rot90(results[key], k=rot_k))
+                for key in results.get('seg_fields', []):
+                    results[key] = np.ascontiguousarray(
+                        np.rot90(results[key], k=rot_k))
+                results['img_shape'] = results['img'].shape
+        results['rotate_k'] = rot_k
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(prob={self.prob})'
+
+
+@PIPELINES.register_module()
+class RandomRotate:
+    """(``transforms.py``) arbitrary-angle rotation."""
+
+    def __init__(self, prob, degree, pad_val=0, seg_pad_val=255,
+                 center=None, auto_bound=False):
+        self.prob = prob
+        self.degree = (-degree, degree) if isinstance(
+            degree, (int, float)) else tuple(degree)
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+        self.center = center
+        self.auto_bound = auto_bound
+
+    def __call__(self, results):
+        if np.random.rand() < self.prob:
+            angle = np.random.uniform(*self.degree)
+            h, w = results['img'].shape[:2]
+            center = self.center or ((w - 1) * 0.5, (h - 1) * 0.5)
+            m = cv2.getRotationMatrix2D(center, -angle, 1.0)
+            results['img'] = cv2.warpAffine(
+                results['img'], m, (w, h), flags=cv2.INTER_LINEAR,
+                borderValue=self.pad_val)
+            for key in results.get('seg_fields', []):
+                results[key] = cv2.warpAffine(
+                    results[key], m, (w, h), flags=cv2.INTER_NEAREST,
+                    borderValue=self.seg_pad_val)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    """(``transforms.py:332``) bottom/right pad to static size."""
+
+    def __init__(self, size=None, size_divisor=None, pad_val=0,
+                 seg_pad_val=255):
+        self.size = tuple(size) if size is not None else None
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+        self.seg_pad_val = seg_pad_val
+
+    def _pad(self, img, target, val):
+        ph = max(target[0] - img.shape[0], 0)
+        pw = max(target[1] - img.shape[1], 0)
+        pad_width = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+        return np.pad(img, pad_width, constant_values=val)
+
+    def __call__(self, results):
+        if self.size is not None:
+            target = self.size
+        else:
+            d = self.size_divisor
+            h, w = results['img'].shape[:2]
+            target = (-(-h // d) * d, -(-w // d) * d)
+        for key in results.get('img_fields', ['img']):
+            results[key] = self._pad(results[key], target, self.pad_val)
+        for key in results.get('seg_fields', []):
+            results[key] = self._pad(results[key], target,
+                                     self.seg_pad_val)
+        results['pad_shape'] = results['img'].shape
+        results['pad_fixed_size'] = self.size
+        results['pad_size_divisor'] = self.size_divisor
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(size={self.size})'
+
+
+@PIPELINES.register_module()
+class Normalize:
+    """(``transforms.py:405``) (x - mean)/std, optional BGR->RGB."""
+
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def _norm(self, img):
+        img = img.astype(np.float32)
+        if self.to_rgb and img.ndim == 3 and img.shape[2] == 3:
+            img = img[..., ::-1]
+        return (img - self.mean) / self.std
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            results[key] = self._norm(results[key])
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(mean={self.mean.tolist()}, '
+                f'std={self.std.tolist()}, to_rgb={self.to_rgb})')
+
+
+@PIPELINES.register_module()
+class ClipNormalize:
+    """mean±2std clip + rescale for uint16 TIFF (``transforms.py:1166``,
+    SeasonNet)."""
+
+    def __init__(self, mean, std, to_rgb=False):
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            img = results[key].astype(np.float32)
+            if self.to_rgb and img.ndim == 3 and img.shape[2] == 3:
+                img = img[..., ::-1]
+            lo = self.mean - 2 * self.std
+            hi = self.mean + 2 * self.std
+            img = np.clip(img, lo, hi)
+            img = (img - lo) / (hi - lo) * 2.0 - 1.0
+            results[key] = img
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register_module()
+class PercentileNormalize:
+    """per-image percentile stretch (``transforms.py:454``)."""
+
+    def __init__(self, lo=2, hi=98, to_rgb=False):
+        self.lo, self.hi, self.to_rgb = lo, hi, to_rgb
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            img = results[key].astype(np.float32)
+            plo = np.percentile(img, self.lo, axis=(0, 1))
+            phi = np.percentile(img, self.hi, axis=(0, 1))
+            img = np.clip((img - plo) / np.maximum(phi - plo, 1e-6), 0, 1)
+            results[key] = img * 2.0 - 1.0
+        return results
+
+
+@PIPELINES.register_module()
+class MultiDomainClipNormalize:
+    """per-domain clip-normalize dispatch (``transforms.py:501``)."""
+
+    def __init__(self, norm_cfg_dict, default=None):
+        self.norm_cfg_dict = {
+            k: ClipNormalize(**v) for k, v in norm_cfg_dict.items()}
+        self.default = default
+
+    def __call__(self, results):
+        domain = results.get('domain', self.default)
+        return self.norm_cfg_dict[domain](results)
+
+
+@PIPELINES.register_module()
+class Rerange:
+    """linear rescale to [min, max] (stock mmseg)."""
+
+    def __init__(self, min_value=0, max_value=255):
+        self.min_value, self.max_value = min_value, max_value
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / max(hi - lo, 1e-6)
+        results['img'] = img * (self.max_value - self.min_value) + \
+            self.min_value
+        return results
+
+
+@PIPELINES.register_module()
+class CLAHE:
+    """contrast-limited adaptive hist equalisation (stock mmseg)."""
+
+    def __init__(self, clip_limit=40.0, tile_grid_size=(8, 8)):
+        self.clahe = cv2.createCLAHE(clip_limit, tuple(tile_grid_size))
+
+    def __call__(self, results):
+        img = results['img']
+        for c in range(img.shape[2]):
+            img[:, :, c] = self.clahe.apply(
+                np.array(img[:, :, c], np.uint8))
+        results['img'] = img
+        return results
+
+
+@PIPELINES.register_module()
+class RGB2Gray:
+
+    def __init__(self, out_channels=None, weights=(0.299, 0.587, 0.114)):
+        self.out_channels = out_channels
+        self.weights = np.array(weights, np.float32)
+
+    def __call__(self, results):
+        img = results['img']
+        gray = (img[..., :3].astype(np.float32) *
+                self.weights).sum(-1, keepdims=True)
+        reps = self.out_channels or img.shape[2]
+        results['img'] = np.tile(gray, (1, 1, reps))
+        results['img_shape'] = results['img'].shape
+        return results
+
+
+@PIPELINES.register_module()
+class AdjustGamma:
+
+    def __init__(self, gamma=1.0):
+        self.gamma = gamma
+        inv = 1.0 / gamma
+        self.table = np.array([(i / 255.0)**inv * 255
+                               for i in range(256)]).astype(np.uint8)
+
+    def __call__(self, results):
+        results['img'] = cv2.LUT(
+            np.array(results['img'], np.uint8), self.table)
+        return results
+
+
+@PIPELINES.register_module()
+class SegRescale:
+
+    def __init__(self, scale_factor=1):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        for key in results.get('seg_fields', []):
+            if self.scale_factor != 1:
+                seg = results[key]
+                h, w = seg.shape[:2]
+                results[key] = imresize(
+                    seg, (int(w * self.scale_factor),
+                          int(h * self.scale_factor)), 'nearest')
+        return results
+
+
+@PIPELINES.register_module()
+class Uint82Float:
+    """(``transforms.py:1215``)."""
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            results[key] = results[key].astype(np.float32)
+        return results
+
+
+class _Photometric:
+    """shared photometric ops on BGR uint8 (``transforms.py:943``)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    @staticmethod
+    def convert(img, alpha=1, beta=0):
+        img = img.astype(np.float32) * alpha + beta
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def _apply(self, img):
+        if np.random.randint(2):
+            img = self.convert(
+                img, beta=np.random.uniform(-self.brightness_delta,
+                                            self.brightness_delta))
+        mode = np.random.randint(2)
+        if mode == 1:
+            if np.random.randint(2):
+                img = self.convert(
+                    img, alpha=np.random.uniform(self.contrast_lower,
+                                                 self.contrast_upper))
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 1] = self.convert(
+                hsv[:, :, 1],
+                alpha=np.random.uniform(self.saturation_lower,
+                                        self.saturation_upper))
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 0] = (
+                hsv[:, :, 0].astype(int) +
+                np.random.randint(-self.hue_delta, self.hue_delta)) % 180
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        if mode == 0:
+            if np.random.randint(2):
+                img = self.convert(
+                    img, alpha=np.random.uniform(self.contrast_lower,
+                                                 self.contrast_upper))
+        return img
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion(_Photometric):
+    """(``transforms.py:943-1060``)."""
+
+    def __call__(self, results):
+        results['img'] = self._apply(results['img'])
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}()'
+
+
+@PIPELINES.register_module()
+class StrongAugmentation(_Photometric):
+    """writes a second, independently-distorted ``img_strong_aug`` view
+    (``transforms.py:1062-1160``)."""
+
+    def __call__(self, results):
+        results['img_strong_aug'] = self._apply(results['img'].copy())
+        results.setdefault('img_fields', ['img'])
+        if 'img_strong_aug' not in results['img_fields']:
+            results['img_fields'].append('img_strong_aug')
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}()'
