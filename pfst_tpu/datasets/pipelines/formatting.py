@@ -1,0 +1,73 @@
+"""Formatting transforms (mirror of ``datasets/pipelines/formating.py``).
+
+On TPU the bundle keeps NHWC float32 numpy arrays (no CHW transpose, no
+torch tensors); ``Collect`` gathers the meta keys the reference records,
+extended by ``rotate_k``/``crop_bbox`` (``formating.py:261-266``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..builder import PIPELINES
+
+DEFAULT_META_KEYS = ('filename', 'ori_filename', 'ori_shape', 'img_shape',
+                     'pad_shape', 'scale_factor', 'flip',
+                     'flip_direction', 'img_norm_cfg', 'rotate_k',
+                     'crop_bbox')
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """img -> float32 HWC; gt -> int32 HW."""
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            img = results[key]
+            if img.ndim == 2:
+                img = img[..., None]
+            results[key] = np.ascontiguousarray(img, np.float32)
+        for key in results.get('seg_fields', []):
+            results[key] = np.ascontiguousarray(results[key], np.int32)
+        return results
+
+    def __repr__(self):
+        return self.__class__.__name__
+
+
+@PIPELINES.register_module()
+class ImageToTensor:
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for key in self.keys:
+            img = results[key]
+            if img.ndim == 2:
+                img = img[..., None]
+            results[key] = np.ascontiguousarray(img, np.float32)
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}(keys={self.keys})'
+
+
+@PIPELINES.register_module()
+class Collect:
+    """(``formating.py:224``) keep data keys + pack metas."""
+
+    def __init__(self, keys, meta_keys=DEFAULT_META_KEYS):
+        self.keys = keys
+        self.meta_keys = meta_keys
+
+    def __call__(self, results):
+        data = {}
+        img_meta = {k: results[k] for k in self.meta_keys if k in results}
+        data['img_metas'] = img_meta
+        for key in self.keys:
+            data[key] = results[key]
+        return data
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(keys={self.keys}, '
+                f'meta_keys={self.meta_keys})')

@@ -324,23 +324,25 @@ class Normalize:
 
 @PIPELINES.register_module()
 class ClipNormalize:
-    """mean±2std clip + rescale for uint16 TIFF (``transforms.py:1166``,
-    SeasonNet)."""
+    """mean±2std clip to [0,1] (optionally uint8 0-255) for uint16 TIFF
+    (``transforms.py:1166-1212``, SeasonNet)."""
 
-    def __init__(self, mean, std, to_rgb=False):
+    def __init__(self, mean, std, to_rgb=True, axis=None, to_uint8=False):
         self.mean = np.array(mean, np.float32)
         self.std = np.array(std, np.float32)
         self.to_rgb = to_rgb
+        self.to_uint8 = to_uint8
 
     def __call__(self, results):
+        lo = self.mean.reshape(1, 1, -1) - 2 * self.std.reshape(1, 1, -1)
+        hi = self.mean.reshape(1, 1, -1) + 2 * self.std.reshape(1, 1, -1)
         for key in results.get('img_fields', ['img']):
             img = results[key].astype(np.float32)
+            img = np.clip((img - lo) / (hi - lo), 0, 1)
             if self.to_rgb and img.ndim == 3 and img.shape[2] == 3:
-                img = img[..., ::-1]
-            lo = self.mean - 2 * self.std
-            hi = self.mean + 2 * self.std
-            img = np.clip(img, lo, hi)
-            img = (img - lo) / (hi - lo) * 2.0 - 1.0
+                img = img[:, :, [2, 1, 0]]
+            if self.to_uint8:
+                img = (img * 255).astype(np.uint8)
             results[key] = img
         results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
                                        to_rgb=self.to_rgb)

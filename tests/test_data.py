@@ -1,0 +1,152 @@
+"""Data layer tests: pipelines, datasets, UDA pairing, dataloader."""
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from pfst_tpu.datasets import (DataLoader, UDADataset, build_dataloader,
+                               build_dataset)
+
+IMG_NORM = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True)
+CROP = (64, 64)
+
+SOURCE_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', reduce_zero_label=True),
+    dict(type='Resize', img_scale=(72, 72), ratio_range=(0.5, 2.0)),
+    dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
+    dict(type='RandomRotate90', prob=1.0),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='vertical'),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='horizontal'),
+    dict(type='PhotoMetricDistortion'),
+    dict(type='Normalize', **IMG_NORM),
+    dict(type='Pad', size=CROP, pad_val=0, seg_pad_val=255),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+]
+
+TARGET_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotationsPseudoLabelsV2', pseudo_labels_dir=None,
+         reduce_zero_label=False, load_feats=False, pseudo_ratio=0.0),
+    dict(type='Resize', img_scale=(96, 96), ratio_range=(0.5, 2.0)),
+    dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
+    dict(type='RandomRotate90', prob=1.0),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='vertical'),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='horizontal'),
+    dict(type='StrongAugmentation'),
+    dict(type='PhotoMetricDistortion'),
+    dict(type='Normalize', **IMG_NORM),
+    dict(type='Pad', size=CROP, pad_val=0, seg_pad_val=255),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'img_strong_aug',
+                               'gt_semantic_seg']),
+]
+
+
+@pytest.fixture(scope='module')
+def isprs_root(tmp_path_factory):
+    """Tiny ISPRS-layout dataset: 4 train images, 2 val."""
+    root = tmp_path_factory.mktemp('isprs')
+    rs = np.random.RandomState(0)
+    for split, n in [('train', 4), ('val', 2)]:
+        os.makedirs(root / 'img_dir' / split)
+        os.makedirs(root / 'ann_dir' / split)
+        for i in range(n):
+            img = rs.randint(0, 255, (80, 80, 3), np.uint8)
+            # labels 0..6 where 0 = boundary (ignored by reduce_zero)
+            ann = rs.randint(0, 7, (80, 80)).astype(np.uint8)
+            cv2.imwrite(str(root / 'img_dir' / split / f'p{i}.png'), img)
+            cv2.imwrite(str(root / 'ann_dir' / split / f'p{i}.png'), ann)
+    return str(root)
+
+
+def _source_cfg(root, pipeline):
+    return dict(type='ISPRSDataset', data_root=root,
+                img_dir='img_dir/train', ann_dir='ann_dir/train',
+                gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+                pipeline=pipeline)
+
+
+def test_source_pipeline_shapes(isprs_root):
+    ds = build_dataset(_source_cfg(isprs_root, SOURCE_PIPELINE))
+    assert len(ds) == 4
+    s = ds[0]
+    assert s['img'].shape == (64, 64, 3)
+    assert s['img'].dtype == np.float32
+    assert s['gt_semantic_seg'].shape == (64, 64)
+    # reduce_zero_label: 0 -> 255, valid in [0, 5] or 255
+    gt = s['gt_semantic_seg']
+    assert set(np.unique(gt)) <= set(range(6)) | {255}
+    assert 'rotate_k' in s['img_metas']
+    assert 'crop_bbox' in s['img_metas']
+
+
+def test_uda_dataset_pairing(isprs_root):
+    cfg = dict(type='UDADataset',
+               source=_source_cfg(isprs_root, SOURCE_PIPELINE),
+               target=_source_cfg(isprs_root, TARGET_PIPELINE),
+               rare_class_sampling=None)
+    # target pipeline replaces annotations with dummy 255 labels
+    cfg['target']['pipeline'] = TARGET_PIPELINE
+    ds = build_dataset(cfg)
+    assert len(ds) == 16
+    s = ds[5]
+    assert s['img'].shape == (64, 64, 3)
+    assert s['target_img'].shape == (64, 64, 3)
+    assert s['target_img_strong_aug'].shape == (64, 64, 3)
+    # strong aug really differs from the weak view somewhere
+    assert not np.allclose(s['target_img'], s['target_img_strong_aug'])
+
+
+def test_dataloader_batches(isprs_root):
+    cfg = dict(type='UDADataset',
+               source=_source_cfg(isprs_root, SOURCE_PIPELINE),
+               target=_source_cfg(isprs_root, TARGET_PIPELINE),
+               rare_class_sampling=None)
+    ds = build_dataset(cfg)
+    loader = DataLoader(ds, samples_per_gpu=2, workers_per_gpu=1,
+                        shuffle=True, seed=0, drop_last=True)
+    batch = next(iter(loader))
+    assert batch['img'].shape == (2, 64, 64, 3)
+    assert batch['target_img'].shape == (2, 64, 64, 3)
+    assert batch['gt_semantic_seg'].shape == (2, 64, 64)
+    assert isinstance(batch['img_metas'], list)
+
+
+def test_dataloader_sharding(isprs_root):
+    ds = build_dataset(_source_cfg(isprs_root, SOURCE_PIPELINE))
+    l0 = DataLoader(ds, 1, 1, shuffle=False, rank=0, world_size=2)
+    l1 = DataLoader(ds, 1, 1, shuffle=False, rank=1, world_size=2)
+    i0 = [b['img_metas'][0]['ori_filename'] for b in l0]
+    i1 = [b['img_metas'][0]['ori_filename'] for b in l1]
+    assert set(i0).isdisjoint(i1)
+    assert len(i0) + len(i1) == 4
+
+
+def test_test_pipeline_and_pre_eval(isprs_root):
+    test_pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(96, 96), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize', **IMG_NORM),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])
+    ]
+    ds = build_dataset(dict(
+        type='ISPRSDataset', data_root=isprs_root, img_dir='img_dir/val',
+        ann_dir='ann_dir/val',
+        gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+        pipeline=test_pipeline, test_mode=True))
+    s = ds[0]
+    assert isinstance(s['img'], list)
+    gt = ds.get_gt_seg_map_by_idx(0)
+    pred = np.zeros_like(gt)
+    pre = ds.pre_eval(pred, 0)
+    res = ds.evaluate(pre, metric='mIoU')
+    assert 'mIoU' in res and 0.0 <= res['mIoU'] <= 1.0
