@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""North-star benchmark: fused inference + pseudo-label generation.
+
+Metric (BASELINE.json): 512^2 patches/sec/chip for DeepLabV3+
+ResNet-50-V1c OS8 forward + softmax + max-prob pseudo-labels +
+confidence thresholding — the teacher path of the PFST UDA step
+(reference ``pfgst.py:253-268`` + ``tools/benchmark.py:80-117``
+measurement protocol: warmup then synchronized timing).
+
+The whole pipeline is ONE jitted XLA program: no host round-trips
+between inference and pseudo-label generation (the reference crosses
+host<->device at ``pfgst.py:262``).
+
+``vs_baseline``: the reference repo ships no number
+(``BASELINE.md``); the denominator below is the mmsegmentation model
+zoo's published DeepLabV3+ R50-d8 512x512 V100 throughput
+(~21 img/s, fp32, cudnn.benchmark=False) as the best available proxy
+for the reference protocol.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_GPU_PATCHES_PER_SEC = 21.0
+BATCH = 8
+SIZE = 512
+THRESHOLD = 0.98
+STEPS = 30
+WARMUP = 5
+
+
+def build():
+    from __graft_entry__ import _flagship_cfg
+    from pfst_tpu.models import build_segmentor
+
+    # bfloat16 compute (MXU-native), float32 params/BN stats
+    model = build_segmentor({**_flagship_cfg(num_classes=6),
+                             'dtype': jnp.bfloat16})
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+    variables = model.init({'params': rng}, img, train=False)
+
+    @jax.jit
+    def fused_infer_pseudo_label(variables, img):
+        # teacher forward (train-mode BN like the PFST teacher), full
+        # softmax, confidence pseudo-labels + quality weight — all fused
+        logits, _ = model.apply(variables, img,
+                                method=model.encode_decode)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        pseudo_prob = jnp.max(probs, axis=-1)
+        pseudo_label = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        mask = pseudo_prob >= THRESHOLD
+        quality = jnp.mean(mask.astype(jnp.float32))
+        return pseudo_label, pseudo_prob, quality
+
+    return fused_infer_pseudo_label, variables, img
+
+
+def main():
+    fn, variables, img = build()
+    for _ in range(WARMUP):
+        out = fn(variables, img)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fn(variables, img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    patches_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        'metric': 'fused infer+pseudo-label 512^2 patches/sec/chip',
+        'value': round(patches_per_sec, 2),
+        'unit': 'patches/sec/chip',
+        'vs_baseline': round(
+            patches_per_sec / REFERENCE_GPU_PATCHES_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

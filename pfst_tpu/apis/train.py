@@ -1,0 +1,272 @@
+"""Training API (mirror of ``rsiseg/apis/train.py:71-192``).
+
+``train_segmentor`` is the explicit jitted train loop replacing mmcv's
+``IterBasedRunner`` + hook inversion-of-control: build data, build the
+algorithm (UDA wrapper or supervised trainer — both expose the same
+``init_state``/``make_train_step`` orchestrator API), then iterate
+``max_iters`` steps with periodic logging / eval / checkpointing.
+Multi-device data parallelism is a ``shard_map`` over the ``data``
+mesh (``pfst_tpu/parallel/mesh.py``).
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..core.optimizers import build_optimizer
+from ..datasets import build_dataloader, build_dataset
+from ..models import build_train_model
+from ..models.uda.uda_decorator import UDATrainState
+from ..parallel.mesh import (get_mesh, make_sharded_train_step,
+                             shard_batch)
+from ..utils.logger import get_root_logger, print_log
+from ..utils.misc import find_latest_checkpoint
+from .test import single_gpu_test
+
+
+def init_random_seed(seed: Optional[int] = None) -> int:
+    """(``apis/train.py:21-49``) — in JAX the key is deterministic per
+    process; multi-host stays in sync because everyone derives the same
+    key from the config seed."""
+    if seed is not None:
+        return seed
+    return int(np.random.randint(2**31))
+
+
+def set_random_seed(seed: int, deterministic: bool = False):
+    np.random.seed(seed)
+    import random
+    random.seed(seed)
+
+
+class SupervisedTrainer:
+    """Source-only training with the orchestrator API of the UDA
+    algorithms (forward/backward of ``EncoderDecoder.train_step``,
+    ``encoder_decoder.py:127-164``)."""
+
+    def __init__(self, model):
+        self.model = model
+        self.num_classes = model.num_classes
+
+    def get_model(self):
+        return self.model
+
+    def init_state(self, rng, img_shape, tx):
+        img = jnp.zeros(img_shape, jnp.float32)
+        variables = self.model.init({'params': rng}, img, train=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        return UDATrainState(
+            params=params, batch_stats=batch_stats,
+            ema_params={}, ema_batch_stats={},
+            opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+    def student_variables(self, state):
+        v = {'params': state.params}
+        if state.batch_stats:
+            v['batch_stats'] = state.batch_stats
+        return v
+
+    def make_train_step(self, tx, mean, std, collect_vis=False,
+                        donate=True, axis_name=None, jit=True):
+        from ..models.uda.pfgst import parse_losses
+        model = self.model
+
+        def step_fn(state, batch, rng):
+            img = batch['img']
+            gt = batch['gt_semantic_seg'].astype(jnp.int32)
+
+            def loss_fn(params):
+                (losses, states), updates = model.apply(
+                    {'params': params,
+                     'batch_stats': state.batch_stats}, img, gt,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': rng},
+                    method=model.forward_train)
+                total, log_vars = parse_losses(losses)
+                return total, (log_vars, updates['batch_stats'])
+
+            (total, (log_vars, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            log_vars = dict(log_vars)
+            log_vars['loss'] = total
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                new_bs = jax.lax.pmean(new_bs, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            new_state = state.replace(params=new_params,
+                                      batch_stats=new_bs,
+                                      opt_state=new_opt,
+                                      step=state.step + 1)
+            return new_state, log_vars, {}
+
+        if not jit:
+            return step_fn
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def _img_norm_from_pipeline(cfg) -> Dict[str, Any]:
+    """Find the Normalize/ClipNormalize mean/std of the train pipeline."""
+
+    def search(pipeline):
+        for t in pipeline or []:
+            if t.get('type') in ('Normalize', 'ClipNormalize'):
+                return dict(mean=list(t['mean']), std=list(t['std']))
+        return None
+
+    train = cfg.data['train']
+    for sub in ('source', None):
+        node = train.get(sub) if sub else train
+        if node is None:
+            continue
+        found = search(node.get('pipeline'))
+        if found:
+            return found
+    return dict(mean=[0.0, 0.0, 0.0], std=[1.0, 1.0, 1.0])
+
+
+def build_algorithm(cfg):
+    """UDA wrapper or supervised trainer, both orchestrator-shaped."""
+    model_or_algo = build_train_model(cfg)
+    if hasattr(model_or_algo, 'make_train_step'):
+        return model_or_algo
+    return SupervisedTrainer(model_or_algo)
+
+
+def train_segmentor(cfg,
+                    work_dir: Optional[str] = None,
+                    resume_from: Optional[str] = None,
+                    auto_resume: bool = False,
+                    validate: bool = True,
+                    seed: int = 0,
+                    meta: Optional[Dict] = None,
+                    max_iters_override: Optional[int] = None,
+                    eval_fn=None):
+    """The explicit train loop (replaces IterBasedRunner.run)."""
+    if work_dir:
+        os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(
+        osp.join(work_dir, 'train.log') if work_dir else None)
+    set_random_seed(seed)
+
+    train_ds = build_dataset(cfg.data['train'])
+    samples_per_gpu = cfg.data.get('samples_per_gpu', 2)
+    workers_per_gpu = cfg.data.get('workers_per_gpu', 2)
+    n_dev = jax.local_device_count()
+    loader = build_dataloader(train_ds, samples_per_gpu * n_dev,
+                              workers_per_gpu, shuffle=True, seed=seed,
+                              drop_last=True, infinite=True,
+                              rank=jax.process_index(),
+                              world_size=jax.process_count())
+
+    max_iters = max_iters_override or cfg.runner['max_iters']
+    algo = build_algorithm(cfg)
+    tx = build_optimizer(dict(cfg.optimizer), cfg.get('lr_config'),
+                         max_iters,
+                         (cfg.get('optimizer_config') or {}).get(
+                             'grad_clip') if cfg.get(
+                                 'optimizer_config') else None)
+    norm = _img_norm_from_pipeline(cfg)
+
+    batch_iter = iter(loader)
+    first = next(batch_iter)
+    img_shape = first['img'].shape
+
+    rng = jax.random.PRNGKey(seed)
+    init_rng, rng = jax.random.split(rng)
+    state = algo.init_state(init_rng, (1,) + tuple(img_shape[1:]), tx)
+
+    start_iter = 0
+    if resume_from is None and auto_resume and work_dir:
+        resume_from = find_latest_checkpoint(work_dir)
+    if resume_from:
+        state = load_checkpoint(resume_from, target=state)
+        start_iter = int(state.step)
+        print_log(f'resumed from {resume_from} @ iter {start_iter}',
+                  logger)
+
+    if n_dev > 1:
+        mesh = get_mesh()
+        step_fn = make_sharded_train_step(algo, tx, norm['mean'],
+                                          norm['std'], mesh)
+        put = lambda b: shard_batch(  # noqa: E731
+            {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
+            mesh)
+    else:
+        step_fn = algo.make_train_step(tx, norm['mean'], norm['std'])
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
+                         if isinstance(v, np.ndarray)}
+
+    log_interval = (cfg.get('log_config') or {}).get('interval', 50)
+    ckpt_interval = (cfg.get('checkpoint_config') or {}).get(
+        'interval', 4000)
+    eval_cfg = cfg.get('evaluation') or {}
+    eval_interval = eval_cfg.get('interval', 4000)
+
+    device_batch = put(first)
+    t_data, t_step = 0.0, 0.0
+    t_last = time.time()
+    log_accum: Dict[str, float] = {}
+    for it in range(start_iter, max_iters):
+        step_rng = jax.random.fold_in(rng, it)
+        state, log_vars, _ = step_fn(state, device_batch, step_rng)
+        t0 = time.time()
+        try:
+            nxt = next(batch_iter)
+        except StopIteration:
+            batch_iter = iter(loader)
+            nxt = next(batch_iter)
+        device_batch = put(nxt)
+        t_data += time.time() - t0
+
+        if (it + 1) % log_interval == 0:
+            log_vars = jax.device_get(log_vars)
+            dt = time.time() - t_last
+            msg = ', '.join(f'{k}: {float(v):.4f}'
+                            for k, v in sorted(log_vars.items()))
+            print_log(
+                f'Iter [{it + 1}/{max_iters}] '
+                f'time: {dt / log_interval:.3f}s '
+                f'data: {t_data / log_interval:.3f}s  {msg}', logger)
+            t_last, t_data = time.time(), 0.0
+
+        if work_dir and (it + 1) % ckpt_interval == 0:
+            save_checkpoint(work_dir, it + 1, jax.device_get(state),
+                            meta=meta)
+            print_log(f'checkpoint saved @ iter {it + 1}', logger)
+
+        if validate and (it + 1) % eval_interval == 0:
+            evaluate_during_train(cfg, algo, state, eval_cfg, logger,
+                                  eval_fn)
+
+    if work_dir:
+        save_checkpoint(work_dir, max_iters, jax.device_get(state),
+                        meta=meta)
+    return state
+
+
+def evaluate_during_train(cfg, algo, state, eval_cfg, logger,
+                          eval_fn=None):
+    """(Dist)EvalHook equivalent (``eval_hooks.py:45-133``)."""
+    if eval_fn is not None:
+        return eval_fn(algo, state)
+    val_ds = build_dataset({**cfg.data['val'], 'test_mode': True})
+    loader = build_dataloader(val_ds, 1, 1, shuffle=False)
+    model = algo.get_model()
+    variables = algo.student_variables(state)
+    results = single_gpu_test(model, variables, loader, pre_eval=True)
+    metric = eval_cfg.get('metric', 'mIoU')
+    res = val_ds.evaluate(results, metric=metric, logger=logger)
+    return res

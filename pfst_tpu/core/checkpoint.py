@@ -1,0 +1,76 @@
+"""Orbax checkpointing.
+
+TPU-native replacement for mmcv ``CheckpointHook`` + torch ``.pth``
+files (reference saves student+teacher+optimizer+iter with meta
+CLASSES/PALETTE/config: ``tools/train.py:228-235``,
+``apis/train.py:184-191``).  The student-only export path mirrors
+``tools/test.py:237-242`` (``--revise_checkpoint_key`` strips the UDA
+wrapper prefixes so eval loads a bare segmentor).
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(work_dir: str) -> str:
+    return osp.join(osp.abspath(work_dir), 'ckpt')
+
+
+def save_checkpoint(work_dir: str, step: int, state: Any,
+                    meta: Optional[Dict] = None) -> str:
+    """Save the full train state under ``{work_dir}/ckpt/{step}``."""
+    path = osp.join(_ckpt_dir(work_dir), str(int(step)))
+    ckptr = ocp.PyTreeCheckpointer()
+    state = jax.tree.map(lambda x: x, state)  # ensure materialised
+    ckptr.save(path, state, force=True)
+    if meta is not None:
+        with open(osp.join(_ckpt_dir(work_dir), 'meta.json'), 'w') as f:
+            json.dump(meta, f, default=str)
+    latest = osp.join(_ckpt_dir(work_dir), 'latest')
+    with open(latest, 'w') as f:
+        f.write(str(int(step)))
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Load a checkpoint; with ``target`` given, restores into its
+    structure (dtypes/shapes validated)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)
+
+
+def load_meta(work_dir: str) -> Optional[Dict]:
+    p = osp.join(_ckpt_dir(work_dir), 'meta.json')
+    if osp.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def extract_student(restored: Any) -> Dict[str, Any]:
+    """Student-only variables from a (possibly UDA) train state.
+
+    Works on both raw pytrees and UDATrainState-like dicts — the
+    equivalent of stripping ``module.``/``model.`` prefixes in the
+    reference (``tools/test.py:237-242``).
+    """
+    if hasattr(restored, 'params'):
+        params = restored.params
+        batch_stats = getattr(restored, 'batch_stats', {})
+    elif isinstance(restored, dict) and 'params' in restored:
+        params = restored['params']
+        batch_stats = restored.get('batch_stats', {})
+    else:
+        raise ValueError('unrecognised checkpoint structure')
+    out = {'params': params}
+    if batch_stats:
+        out['batch_stats'] = batch_stats
+    return out

@@ -1,0 +1,139 @@
+"""Optimizer + LR schedule builders (optax).
+
+Mirrors the reference's optimizer surface: AdamW/SGD from ``optimizer``
+cfg (``configs/_base_/schedules/adamw_40k.py:4-5``), poly-with-linear-
+warmup decay from ``lr_config`` (``adamw_40k.py:9-16``), multi-optimizer
+dict-of-dicts for adversarial adaptors (``rsiseg/core/builder.py:36-90``)
+and ``paramwise_cfg`` multipliers (lr_mult/decay_mult on matching
+submodule names).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def build_lr_schedule(lr_config: Optional[dict], base_lr: float,
+                      max_iters: int):
+    """poly power-p decay with linear warmup (mmcv PolyLrUpdater)."""
+    if lr_config is None:
+        return base_lr
+    cfg = dict(lr_config)
+    policy = cfg.get('policy', 'poly')
+    warmup = cfg.get('warmup', None)
+    warmup_iters = cfg.get('warmup_iters', 0)
+    warmup_ratio = cfg.get('warmup_ratio', 1e-6)
+    power = cfg.get('power', 1.0)
+    min_lr = cfg.get('min_lr', 0.0)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if policy == 'poly':
+            progress = jnp.clip(step / max_iters, 0.0, 1.0)
+            lr = (base_lr - min_lr) * (1.0 - progress)**power + min_lr
+        elif policy == 'fixed':
+            lr = jnp.asarray(base_lr)
+        elif policy == 'step':
+            gamma = cfg.get('gamma', 0.1)
+            milestones = jnp.asarray(cfg['step'], jnp.float32)
+            lr = base_lr * gamma**jnp.sum(step >= milestones)
+        else:
+            raise ValueError(f'unsupported lr policy {policy}')
+        if warmup == 'linear' and warmup_iters > 0:
+            k = jnp.clip(step / warmup_iters, 0.0, 1.0)
+            wfactor = warmup_ratio + (1.0 - warmup_ratio) * k
+            lr = jnp.where(step < warmup_iters, lr * wfactor, lr)
+        elif warmup == 'constant' and warmup_iters > 0:
+            lr = jnp.where(step < warmup_iters, lr * warmup_ratio, lr)
+        elif warmup == 'exp' and warmup_iters > 0:
+            k = jnp.clip(step / warmup_iters, 0.0, 1.0)
+            lr = jnp.where(step < warmup_iters, lr * warmup_ratio**(1 - k),
+                           lr)
+        return lr
+
+    return schedule
+
+
+def _paramwise_mask_fn(paramwise_cfg: dict):
+    custom_keys = paramwise_cfg.get('custom_keys', {})
+
+    def label(path: str):
+        for key in sorted(custom_keys, key=len, reverse=True):
+            if key in path:
+                return key
+        return '__default__'
+
+    return label, custom_keys
+
+
+def build_optimizer(optimizer_cfg: dict,
+                    lr_config: Optional[dict] = None,
+                    max_iters: int = 40000,
+                    grad_clip: Optional[dict] = None):
+    """Build an optax GradientTransformation from reference-style cfg."""
+    cfg = dict(optimizer_cfg)
+    opt_type = cfg.pop('type', 'AdamW')
+    base_lr = cfg.pop('lr', 1e-3)
+    paramwise_cfg = cfg.pop('paramwise_cfg', None)
+    schedule = build_lr_schedule(lr_config, base_lr, max_iters)
+
+    def make(lr_mult=1.0, decay_mult=1.0):
+        if callable(schedule):
+            lr = lambda s: schedule(s) * lr_mult  # noqa: E731
+        else:
+            lr = schedule * lr_mult
+        if opt_type == 'AdamW':
+            b1, b2 = cfg.get('betas', (0.9, 0.999))
+            tx = optax.adamw(
+                lr, b1=b1, b2=b2, eps=cfg.get('eps', 1e-8),
+                weight_decay=cfg.get('weight_decay', 0.0) * decay_mult)
+        elif opt_type == 'Adam':
+            b1, b2 = cfg.get('betas', (0.9, 0.999))
+            tx = optax.adam(lr, b1=b1, b2=b2)
+        elif opt_type == 'SGD':
+            tx = optax.chain(
+                optax.add_decayed_weights(
+                    cfg.get('weight_decay', 0.0) * decay_mult),
+                optax.sgd(lr, momentum=cfg.get('momentum', 0.0),
+                          nesterov=cfg.get('nesterov', False)))
+        else:
+            raise ValueError(f'unsupported optimizer {opt_type}')
+        return tx
+
+    if paramwise_cfg:
+        label_fn, custom_keys = _paramwise_mask_fn(paramwise_cfg)
+        transforms = {'__default__': make()}
+        for key, spec in custom_keys.items():
+            transforms[key] = make(spec.get('lr_mult', 1.0),
+                                   spec.get('decay_mult', 1.0))
+
+        def path_labels(params):
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+            def lbl(path, _):
+                s = '/'.join(str(getattr(p, 'key', p)) for p in path)
+                return label_fn(s)
+
+            return jax.tree_util.tree_map_with_path(lbl, params)
+
+        tx = optax.multi_transform(transforms, path_labels)
+    else:
+        tx = make()
+
+    if grad_clip:
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip.get('max_norm', 1.0)), tx)
+    return tx
+
+
+def build_optimizers(cfg: dict, lr_config=None, max_iters=40000,
+                     grad_clip=None) -> Any:
+    """Multi-optimizer support (``core/builder.py:36-90``): a dict of
+    optimizer cfgs (one per submodule) yields a dict of transforms."""
+    if 'type' in cfg:
+        return build_optimizer(cfg, lr_config, max_iters, grad_clip)
+    return {name: build_optimizer(sub, lr_config, max_iters, grad_clip)
+            for name, sub in cfg.items()}

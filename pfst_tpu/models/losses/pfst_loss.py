@@ -1,0 +1,221 @@
+"""PFST loss family (mirror of ``rsiseg/models/losses/pfst_loss.py``).
+
+``PFSTLoss`` (``pfst_loss.py:12-149``): soft pseudo-labels built by
+similarity-weighted voting over the top-k most / least similar
+neighbors' teacher logits, trained against the student with per-class
+BCE (positive pull to the similar-neighbor vote, negative push from the
+dissimilar-neighbor vote).
+
+``PFSTLossV2`` (``pfst_loss.py:152-338``): threshold-masked variant
+(tau_pos/tau_neg on the similarity) of the agreement pull/push plus the
+source same/diff-label contrast.  The reference's ``PFSTLossV4`` is a
+verbatim duplicate of V2 with a broken ``super()`` call; here V4 is an
+explicit alias.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import resize, unfold_neighbors
+from ..builder import LOSSES
+from .utils import masked_mean
+
+
+def _nearest(x, size):
+    return resize(x, size=size, mode='nearest')
+
+
+def _sim_feat(x, size, kernel_size, dilation, sim_type, sigma):
+    feats = _nearest(x, size)
+    unf = unfold_neighbors(feats, kernel_size, dilation)
+    center = feats[:, :, :, None, :]
+    if sim_type == 'gaussian':
+        d2 = jnp.sum((unf - center)**2, axis=-1)
+        sim = jnp.exp(-d2 / sigma**2)
+    elif sim_type == 'cosine':
+        num = jnp.sum(unf * center, axis=-1)
+        na = jnp.sqrt(jnp.sum(unf**2, axis=-1))
+        nb = jnp.sqrt(jnp.sum(center**2, axis=-1))
+        sim = num / jnp.maximum(na * nb, 1e-8)
+    else:
+        raise ValueError(sim_type)
+    return feats, sim
+
+
+def _bce_none(logits, target):
+    return jnp.maximum(logits, 0) - logits * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+@LOSSES.register_module()
+class PFSTLoss:
+
+    def __init__(self, top_k, dilation, kernel_size, weights, sigma=30,
+                 mean_sim=0.6, feat_level=2, sim_type='cosine'):
+        self.top_k = top_k
+        self.dilation = dilation
+        self.kernel_size = kernel_size
+        self.weights = weights
+        self.sigma = sigma
+        self.feat_level = feat_level
+        self.sim_type = sim_type
+
+    def __call__(self, tensors):
+        logits_trg = tensors['logits_trg']     # (B,H,W,C)
+        x_ema = tensors['x_ema']
+        if self.feat_level is not None:
+            x_ema = x_ema[self.feat_level]
+        img_trg = tensors.get('img_trg')
+        b, h, w, c = logits_trg.shape
+        size = (h, w)
+
+        inv_mix = 1.0 - _nearest(
+            tensors['mix_masks'][..., None].astype(jnp.float32), size)
+        ignore_trg = (inv_mix[..., 0] > 0.5)
+
+        logits_ema = resize(tensors['logits_ema'], size=size,
+                            mode='bilinear', align_corners=False)
+        unf_logits_ema = unfold_neighbors(logits_ema, self.kernel_size,
+                                          self.dilation)  # (B,H,W,k2,C)
+        _, ema_sim = _sim_feat(x_ema, size, self.kernel_size,
+                               self.dilation, self.sim_type, self.sigma)
+
+        # similarity-weighted neighbor-logit vote (``pfst_loss.py:120-149``)
+        top_sim, top_idx = jax.lax.top_k(ema_sim, self.top_k + 1)
+        min_sim, min_idx = jax.lax.top_k(-ema_sim, self.top_k)
+        min_sim = -min_sim
+
+        def gather_logits(idx):
+            return jnp.take_along_axis(unf_logits_ema, idx[..., None],
+                                       axis=3)
+
+        logits_pos = jnp.sum(
+            top_sim[..., None] * gather_logits(top_idx), axis=3)
+        logits_neg = jnp.sum(
+            min_sim[..., None] * gather_logits(min_idx), axis=3)
+        pl_pos = jax.nn.softmax(logits_pos, axis=-1)
+        pl_neg = jax.nn.softmax(logits_neg, axis=-1)
+
+        loss_pos_map = _bce_none(logits_trg, pl_pos)
+        loss_neg_map = -_bce_none(logits_trg, pl_neg)
+        mask = jnp.broadcast_to(ignore_trg[..., None],
+                                loss_pos_map.shape)
+        losses = {
+            'loss_sim_pos': masked_mean(loss_pos_map, mask) *
+            self.weights['sim_pos'],
+            'loss_sim_neg': masked_mean(loss_neg_map, mask) *
+            self.weights['sim_neg'],
+        }
+        if img_trg is not None:
+            density = 1.0 - jnp.mean(jax.lax.stop_gradient(ema_sim),
+                                     axis=-1)[..., None]
+            losses['vis|density_sim_feat'] = (img_trg, density)
+            losses['vis|seg_mask_sim_pseudo_labels'] = (
+                img_trg, jnp.argmax(pl_pos, -1)[..., None],
+                jnp.argmax(pl_neg, -1)[..., None])
+        return losses
+
+
+@LOSSES.register_module()
+class PFSTLossV2:
+
+    def __init__(self, top_k, dilation, kernel_size, weights, sigma=30,
+                 mean_sim=0.6, feat_level=2, sim_type='gaussian',
+                 tau_pos=0.25, tau_neg=0.75, border_margin=None):
+        self.top_k = top_k
+        self.dilation = dilation
+        self.kernel_size = kernel_size
+        self.weights = weights
+        self.sigma = sigma
+        self.feat_level = feat_level
+        self.sim_type = sim_type
+        self.tau_pos = tau_pos
+        self.tau_neg = tau_neg
+        self.border_margin = border_margin
+
+    def __call__(self, tensors):
+        k2 = self.kernel_size**2
+        logits_trg = tensors['logits_trg']
+        gt_src = tensors['gt_src']
+        x_ema = tensors['x_ema']
+        x_src = tensors['x_src']
+        if self.feat_level is not None:
+            x_ema = x_ema[self.feat_level]
+            x_src = x_src[self.feat_level]
+        img_trg = tensors.get('img_trg')
+        b, h, w, c = logits_trg.shape
+        size = (h, w)
+
+        gt = _nearest(gt_src[..., None].astype(jnp.float32), size)
+        ignore_src = (gt[..., 0] != 255)
+        inv_mix = (1.0 - _nearest(
+            tensors['mix_masks'][..., None].astype(jnp.float32),
+            size))[..., 0] > 0.5
+
+        # cross-class agreement (same math as PFGST's)
+        p = jax.nn.softmax(logits_trg, axis=-1)
+        unf_p = unfold_neighbors(p, self.kernel_size, self.dilation)
+        cross_prob_pos = jnp.sum(p[:, :, :, None, :] * unf_p, axis=-1)
+
+        _, ema_sim = _sim_feat(x_ema, size, self.kernel_size,
+                               self.dilation, self.sim_type, self.sigma)
+        _, src_sim = _sim_feat(x_src, size, self.kernel_size,
+                               self.dilation, self.sim_type, self.sigma)
+
+        unf_gt = unfold_neighbors(gt, self.kernel_size,
+                                  self.dilation)[..., 0]
+        pos_pair = unf_gt == gt
+        neg_pair = unf_gt != gt
+        src_valid = ignore_src[..., None]
+        losses = {
+            'loss_src_pos': -masked_mean(src_sim, pos_pair & src_valid) *
+            self.weights['src_pos'],
+            'loss_src_neg': masked_mean(src_sim, neg_pair & src_valid) *
+            self.weights['src_neg'],
+        }
+
+        # prediction-agreement pairs over the student's argmax
+        pred = jnp.argmax(logits_trg, axis=-1)[..., None].astype(
+            jnp.float32)
+        unf_pred = unfold_neighbors(pred, self.kernel_size,
+                                    self.dilation)[..., 0]
+        pos_pred = unf_pred == pred
+        neg_pred = unf_pred != pred
+
+        pos_sim_mask = (ema_sim < self.tau_pos) & pos_pred
+        neg_sim_mask = (ema_sim > self.tau_neg) & neg_pred
+
+        center_valid = ignore_src & inv_mix
+        unf_valid = unfold_neighbors(
+            center_valid[..., None].astype(jnp.float32),
+            self.kernel_size, self.dilation)[..., 0]
+        eroded = jnp.sum(unf_valid, axis=-1) == k2
+        if self.border_margin is not None:
+            m = self.border_margin
+            rows = jnp.arange(h)[None, :, None]
+            cols = jnp.arange(w)[None, None, :]
+            border = ((rows < m) & (cols < m)) | \
+                ((rows >= h - m) & (cols >= w - m))
+            eroded = eroded & ~border
+        pos_sim_mask = pos_sim_mask & eroded[..., None]
+        neg_sim_mask = neg_sim_mask & eroded[..., None]
+
+        losses['loss_sim_pos'] = masked_mean(cross_prob_pos,
+                                             pos_sim_mask) * \
+            self.weights['sim_pos']
+        losses['loss_sim_neg'] = -masked_mean(cross_prob_pos,
+                                              neg_sim_mask) * \
+            self.weights['sim_neg']
+        if img_trg is not None:
+            density = 1.0 - jnp.mean(jax.lax.stop_gradient(ema_sim),
+                                     axis=-1)[..., None]
+            losses['vis|density_sim_feat'] = (img_trg, density)
+        return losses
+
+
+@LOSSES.register_module()
+class PFSTLossV4(PFSTLossV2):
+    """The reference's V4 is a duplicate of V2 (``pfst_loss.py:339``)."""

@@ -231,11 +231,18 @@ class PFGST(UDADecorator):
 
     # ------------------------------------------------------------------
     def make_train_step(self, tx, mean, std, collect_vis: bool = False,
-                        donate: bool = True):
-        """Build the fused jitted train step: state, batch, rng -> ...
+                        donate: bool = True,
+                        axis_name: Optional[str] = None,
+                        jit: bool = True):
+        """Build the fused train step: (state, batch, rng) -> (state,
+        log_vars, vis).
 
         ``tx`` is the optax transform; ``mean``/``std`` the dataset's
-        img_norm (arrays of shape (3,)).
+        img_norm (arrays of shape (3,)).  With ``axis_name`` set the
+        step is shard_map-ready: grads/log-vars/BN running stats are
+        ``pmean``-reduced over the data axis (the DDP allreduce of
+        ``apis/train.py:108-112`` + the log-var allreduce of
+        ``base.py:205-220``, fused into the XLA program).
         """
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
@@ -251,17 +258,25 @@ class PFGST(UDADecorator):
 
             (total, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            log_vars = dict(aux['log_vars'])
+            log_vars['loss'] = total
+            new_batch_stats = aux['batch_stats']
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                new_batch_stats = jax.lax.pmean(new_batch_stats,
+                                                axis_name)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params,
                                       updates)
-            log_vars = dict(aux['log_vars'])
-            log_vars['loss'] = total
             new_state = state.replace(
                 params=new_params,
-                batch_stats=aux['batch_stats'],
+                batch_stats=new_batch_stats,
                 opt_state=new_opt,
                 step=state.step + 1)
             return new_state, log_vars, aux['vis_states']
 
+        if not jit:
+            return step_fn
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,8 @@
+from .mesh import (DATA_AXIS, batch_sharding, get_mesh, init_distributed,
+                   make_sharded_train_step, replicate_sharding,
+                   shard_batch)
+
+__all__ = [
+    'DATA_AXIS', 'get_mesh', 'init_distributed', 'batch_sharding',
+    'replicate_sharding', 'shard_batch', 'make_sharded_train_step'
+]

@@ -1,0 +1,83 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's DDP/NCCL stack
+(``apis/train.py:104-117``, ``configs/_base_/default_runtime.py:38``):
+a 1-D ``data`` mesh over all local/global devices; the train step is
+``shard_map``-ped so every replica computes on its batch shard with
+per-replica BN statistics (mirroring ``broadcast_buffers=False`` DDP)
+and gradients are averaged with a single fused ``psum`` riding ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host init (the ``init_dist`` equivalent). No-op when
+    single-process."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def get_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-global batch with the leading dim over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh)
+        if hasattr(x, 'ndim') and x.ndim >= 1 else x, batch)
+
+
+def make_sharded_train_step(algo, tx, mean, std, mesh: Mesh,
+                            collect_vis: bool = False):
+    """DDP-equivalent train step over the data mesh.
+
+    - state replicated, batch sharded on dim 0;
+    - each replica sees its shard with its own BN batch stats
+      (per-replica BN like the reference's plain ``BN`` +
+      ``broadcast_buffers=False``);
+    - grads/log-vars ``pmean`` over ICI inside the same XLA program;
+    - running BN stats are also ``pmean``-synced so eval is
+      replica-independent (the reference instead broadcasts rank-0
+      buffers before eval: ``eval_hooks.py:100-106``);
+    - per-replica RNG folds in the axis index so augmentations differ
+      across replicas like per-rank torch seeds.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    inner = algo.make_train_step(tx, mean, std, collect_vis=collect_vis,
+                                 donate=False, axis_name=DATA_AXIS,
+                                 jit=False)
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return inner(state, batch, rng)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(DATA_AXIS)),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -1,0 +1,49 @@
+"""Config-corpus sweep: every shipped config builds its model
+(the reference's de-facto regression net, ``tests/test_config.py``)."""
+import glob
+import os.path as osp
+
+import pytest
+
+from pfst_tpu.utils import Config
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), '..'))
+LEAF_CONFIGS = sorted(glob.glob(osp.join(REPO, 'configs', 'pfst', '*.py')))
+
+
+@pytest.mark.parametrize('path', LEAF_CONFIGS,
+                         ids=[osp.basename(p) for p in LEAF_CONFIGS])
+def test_config_builds_train_model(path):
+    cfg = Config.fromfile(path)
+    assert 'model' in cfg and 'uda' in cfg and 'runner' in cfg
+    from pfst_tpu.apis.train import build_algorithm
+    algo = build_algorithm(cfg)
+    # UDA configs must produce the PFGST orchestrator with a student
+    # whose heads agree on num_classes
+    n = cfg.model['decode_head']['num_classes']
+    assert algo.num_classes == n
+    assert cfg.model['auxiliary_head']['num_classes'] == n
+    assert algo.aux_losses, 'PFGST config must carry aux losses'
+
+
+@pytest.mark.parametrize('path', LEAF_CONFIGS,
+                         ids=[osp.basename(p) for p in LEAF_CONFIGS])
+def test_config_merge_and_override(path):
+    cfg = Config.fromfile(path)
+    assert cfg.optimizer['lr'] == 6e-05
+    assert cfg.runner['max_iters'] == 40000
+    cfg.merge_from_dict({'optimizer.lr': 1e-4,
+                         'model.decode_head.num_classes': 7})
+    assert cfg.optimizer['lr'] == 1e-4
+    assert cfg.model['decode_head']['num_classes'] == 7
+
+
+def test_base_inheritance_delete_key(tmp_path):
+    base = tmp_path / 'base.py'
+    base.write_text("a = dict(x=1, y=2)\nb = 3\n")
+    child = tmp_path / 'child.py'
+    child.write_text(
+        "_base_ = ['./base.py']\na = dict(_delete_=True, z=9)\n")
+    cfg = Config.fromfile(str(child))
+    assert cfg.a.to_dict() == {'z': 9}
+    assert cfg.b == 3

@@ -1,0 +1,151 @@
+"""End-to-end mini training runs: supervised + UDA, single and
+multi-device (8 virtual CPU devices from conftest)."""
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from conftest import tiny_model_cfg
+from pfst_tpu.utils.config import Config
+
+IMG_NORM = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True)
+CROP = (32, 32)
+
+
+def _pipelines():
+    source = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', reduce_zero_label=True),
+        dict(type='Resize', img_scale=(40, 40), ratio_range=(0.8, 1.2)),
+        dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
+        dict(type='RandomFlip', flip_ratio=0.5, direction='horizontal'),
+        dict(type='Normalize', **IMG_NORM),
+        dict(type='Pad', size=CROP, pad_val=0, seg_pad_val=255),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    target = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotationsPseudoLabelsV2',
+             pseudo_labels_dir=None, reduce_zero_label=False,
+             load_feats=False, pseudo_ratio=0.0),
+        dict(type='Resize', img_scale=(40, 40), ratio_range=(0.8, 1.2)),
+        dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
+        dict(type='StrongAugmentation'),
+        dict(type='Normalize', **IMG_NORM),
+        dict(type='Pad', size=CROP, pad_val=0, seg_pad_val=255),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'img_strong_aug',
+                                   'gt_semantic_seg']),
+    ]
+    test = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize', **IMG_NORM),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])
+    ]
+    return source, target, test
+
+
+@pytest.fixture(scope='module')
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('mini')
+    rs = np.random.RandomState(0)
+    for split in ('train', 'val'):
+        os.makedirs(root / 'img_dir' / split)
+        os.makedirs(root / 'ann_dir' / split)
+        for i in range(8 if split == 'train' else 2):
+            img = rs.randint(0, 255, (40, 40, 3), np.uint8)
+            ann = rs.randint(0, 7, (40, 40)).astype(np.uint8)
+            cv2.imwrite(str(root / 'img_dir' / split / f'x{i}.png'), img)
+            cv2.imwrite(str(root / 'ann_dir' / split / f'x{i}.png'), ann)
+    return str(root)
+
+
+def _cfg(data_root, with_uda):
+    source, target, test = _pipelines()
+
+    def ds(pipe, split='train'):
+        return dict(type='ISPRSDataset', data_root=data_root,
+                    img_dir=f'img_dir/{split}',
+                    ann_dir=f'ann_dir/{split}',
+                    gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+                    pipeline=pipe)
+
+    cfg = dict(
+        model=tiny_model_cfg(),
+        data=dict(
+            samples_per_gpu=1,
+            workers_per_gpu=1,
+            train=dict(type='UDADataset', source=ds(source),
+                       target=ds(target), rare_class_sampling=None)
+            if with_uda else ds(source),
+            val=ds(test, 'val'),
+            test=ds(test, 'val')),
+        optimizer=dict(type='AdamW', lr=1e-3, betas=(0.9, 0.999),
+                       weight_decay=0.01),
+        optimizer_config=None,
+        lr_config=dict(policy='poly', warmup='linear', warmup_iters=2,
+                       warmup_ratio=1e-6, power=1.0, min_lr=0.0),
+        runner=dict(type='IterBasedRunner', max_iters=3),
+        checkpoint_config=dict(interval=3),
+        evaluation=dict(interval=3, metric='mIoU', pre_eval=True),
+        log_config=dict(interval=1),
+    )
+    if with_uda:
+        cfg['uda'] = dict(
+            type='PFGST', alpha=0.99, pseudo_threshold=0.9,
+            pseudo_weight_ignore_top=0, pseudo_weight_ignore_bottom=0,
+            imnet_feature_dist_lambda=0, mix='class', blur=False,
+            color_jitter_strength=0.2, color_jitter_probability=0.2,
+            print_grad_magnitude=False, thre_type='all',
+            use_decoded_feats=True,
+            aux_losses=[dict(
+                type='PFGSTLoss', kernel_size=3, dilation=1, top_k=3,
+                weights={'src_pos': 0.1, 'src_neg': 0.1, 'sim_pos': 0.1,
+                         'sim_neg': 0.1, 'src_pos_std': 0.1,
+                         'src_neg_std': 0.1},
+                sim_type='cosine', feat_level=None, detach_unfold=True,
+                downscale=0.5)])
+    return Config(cfg)
+
+
+@pytest.mark.parametrize('with_uda', [False, True],
+                         ids=['supervised', 'uda'])
+def test_train_loop_end_to_end(data_root, tmp_path, with_uda):
+    from pfst_tpu.apis import train_segmentor
+    cfg = _cfg(data_root, with_uda)
+    work_dir = str(tmp_path / ('uda' if with_uda else 'sup'))
+    state = train_segmentor(cfg, work_dir=work_dir, validate=True,
+                            seed=0)
+    assert int(state.step) == 3
+    # checkpoint written + resumable
+    from pfst_tpu.utils.misc import find_latest_checkpoint
+    latest = find_latest_checkpoint(work_dir)
+    assert latest is not None and latest.endswith('3')
+    state2 = train_segmentor(cfg, work_dir=None, auto_resume=False,
+                             resume_from=latest, validate=False, seed=0,
+                             max_iters_override=4)
+    assert int(state2.step) == 4
+
+
+def test_tools_train_cli(data_root, tmp_path, monkeypatch):
+    """tools/train.py drives the same path as the reference CLI."""
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    cfg = _cfg(data_root, with_uda=False)
+    cfg_path = tmp_path / 'cfg.py'
+    cfg_path.write_text(cfg.dump())
+    import importlib
+    train_cli = importlib.import_module('train')
+    train_cli.main([str(cfg_path), '--work-dir',
+                    str(tmp_path / 'wd'), '--no-validate',
+                    '--max-iters', '2'])
+    assert osp.exists(tmp_path / 'wd' / 'ckpt' / '2')

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Evaluation CLI (mirror of /root/reference/tools/test.py).
+
+Usage: python tools/test.py <config> <checkpoint> --eval mIoU
+The ``--revise_checkpoint_key`` flag is accepted for command
+compatibility; UDA checkpoints are detected structurally and the
+student weights are extracted automatically
+(reference ``tools/test.py:237-242``).
+"""
+import argparse
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+from pfst_tpu.utils import Config, DictAction, get_root_logger
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser(description='Test a segmentor')
+    parser.add_argument('config')
+    parser.add_argument('checkpoint')
+    parser.add_argument('--eval', nargs='+',
+                        help='metrics: mIoU/mDice/mFscore')
+    parser.add_argument('--out', help='json file to dump results')
+    parser.add_argument('--format-only', action='store_true')
+    parser.add_argument('--aug-test', action='store_true',
+                        help='multi-scale + flip TTA')
+    parser.add_argument('--show-dir', help='dir to save viz overlays')
+    parser.add_argument('--opacity', type=float, default=0.5)
+    parser.add_argument('--revise_checkpoint_key', type=bool,
+                        default=False, help='compat no-op')
+    parser.add_argument('--cfg-options', nargs='+', action=DictAction)
+    parser.add_argument('--eval-options', nargs='+', action=DictAction)
+    parser.add_argument('--launcher', default='none')
+    parser.add_argument('--local_rank', type=int, default=0)
+    return parser.parse_args(args)
+
+
+def main(args=None):
+    args = parse_args(args)
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+    logger = get_root_logger()
+
+    if args.aug_test:
+        tta = cfg.data['test']['pipeline'][1]
+        tta['img_ratios'] = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
+        tta['flip'] = True
+
+    from pfst_tpu.apis import single_gpu_test
+    from pfst_tpu.core.checkpoint import extract_student, load_checkpoint
+    from pfst_tpu.datasets import build_dataloader, build_dataset
+    from pfst_tpu.models import build_segmentor
+
+    dataset = build_dataset({**cfg.data['test'], 'test_mode': True})
+    loader = build_dataloader(dataset, 1, cfg.data.get(
+        'workers_per_gpu', 2), shuffle=False)
+
+    model_cfg = dict(cfg.model)
+    model_cfg['pretrained'] = None
+    model_cfg.pop('train_cfg', None)
+    model = build_segmentor(model_cfg)
+    restored = load_checkpoint(args.checkpoint)
+    variables = extract_student(restored)
+
+    results = single_gpu_test(
+        model, variables, loader,
+        pre_eval=bool(args.eval) and not args.format_only,
+        format_only=args.format_only, out_dir=args.show_dir)
+
+    if args.eval:
+        eval_kwargs = dict(args.eval_options or {})
+        res = dataset.evaluate(results, metric=args.eval, logger=logger,
+                               **eval_kwargs)
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump({k: float(v) for k, v in res.items()}, f,
+                          indent=2)
+        return res
+
+
+if __name__ == '__main__':
+    main()

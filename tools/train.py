@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training CLI (mirror of /root/reference/tools/train.py).
+
+Usage: python tools/train.py <config> [--work-dir D] [--resume-from C]
+       [--auto-resume] [--seed N] [--cfg-options k=v ...]
+"""
+import argparse
+import copy
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+from pfst_tpu.utils import Config, DictAction, get_root_logger
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser(description='Train a segmentor')
+    parser.add_argument('config', help='train config file path')
+    parser.add_argument('--work-dir', help='the dir to save logs/models')
+    parser.add_argument('--load-from', help='checkpoint to load weights')
+    parser.add_argument('--resume-from', help='checkpoint to resume')
+    parser.add_argument('--auto-resume', action='store_true',
+                        help='resume from the latest checkpoint')
+    parser.add_argument('--no-validate', action='store_true',
+                        help='skip evaluation during training')
+    parser.add_argument('--seed', type=int, default=None,
+                        help='random seed')
+    parser.add_argument('--deterministic', action='store_true')
+    parser.add_argument('--max-iters', type=int, default=None,
+                        help='override runner.max_iters')
+    parser.add_argument('--cfg-options', nargs='+', action=DictAction,
+                        help='override config entries key=value')
+    parser.add_argument('--launcher', default='none',
+                        choices=['none', 'jax'],
+                        help='jax launcher uses jax.distributed '
+                             '(COORDINATOR_ADDRESS env)')
+    parser.add_argument('--local_rank', type=int, default=0)
+    return parser.parse_args(args)
+
+
+def main(args=None):
+    args = parse_args(args)
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(args.cfg_options)
+
+    if args.launcher == 'jax':
+        from pfst_tpu.parallel import init_distributed
+        init_distributed(os.environ.get('COORDINATOR_ADDRESS'))
+
+    work_dir = args.work_dir or cfg.get('work_dir') or osp.join(
+        'work_dirs', osp.splitext(osp.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    timestamp = time.strftime('%Y%m%d_%H%M%S', time.localtime())
+    logger = get_root_logger(osp.join(work_dir, f'{timestamp}.log'))
+    cfg.dump(osp.join(work_dir, osp.basename(args.config)))
+
+    import jax
+    seed = args.seed if args.seed is not None else cfg.get('seed', 0)
+    logger.info(f'devices: {jax.devices()}  seed: {seed}')
+    logger.info(f'Config:\n{cfg.dump()}')
+
+    meta = dict(
+        config=cfg.dump(),
+        seed=seed,
+        exp_name=osp.basename(args.config),
+        time=timestamp,
+    )
+
+    from pfst_tpu.apis import train_segmentor
+    from pfst_tpu.datasets import build_dataset
+    try:
+        ds = build_dataset(cfg.data['train'])
+        meta['CLASSES'] = list(ds.CLASSES) if ds.CLASSES else None
+        meta['PALETTE'] = list(ds.PALETTE) if ds.PALETTE else None
+    except Exception as e:  # dataset may need data on disk for meta only
+        logger.warning(f'could not record dataset meta: {e}')
+
+    train_segmentor(
+        cfg,
+        work_dir=work_dir,
+        resume_from=args.resume_from,
+        auto_resume=args.auto_resume,
+        validate=not args.no_validate,
+        seed=seed,
+        meta=meta,
+        max_iters_override=args.max_iters)
+
+
+if __name__ == '__main__':
+    main()
