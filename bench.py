@@ -61,13 +61,17 @@ def build():
 
 def main():
     fn, variables, img = build()
-    for _ in range(WARMUP):
-        out = fn(variables, img)
-    jax.block_until_ready(out)
+    # vary the input every step and force a host transfer at the end:
+    # on tunneled backends `block_until_ready` may not actually block
+    # and identical executions can be elided, which inflates naive
+    # timings by orders of magnitude.
+    imgs = [img + 0.001 * i for i in range(STEPS)]
+    for i in range(WARMUP):
+        out = fn(variables, imgs[i % STEPS])
+    _ = np.asarray(out[2])
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = fn(variables, img)
-    jax.block_until_ready(out)
+    outs = [fn(variables, imgs[i]) for i in range(STEPS)]
+    _ = [np.asarray(o[2]) for o in outs]
     dt = time.perf_counter() - t0
     patches_per_sec = BATCH * STEPS / dt
     print(json.dumps({

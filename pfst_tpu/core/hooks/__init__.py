@@ -1,0 +1,11 @@
+from .hook import HOOKS, Hook, build_hook
+from .loggers import TensorboardLoggerHook, TextLoggerHook, WandbHookSeg
+from .plot_statistics_hook import (PlotMultiClassStatisticsHook,
+                                   PlotStatisticsHook)
+from .rare_class_sampling_hook import RareClassSamplingHook
+
+__all__ = [
+    'HOOKS', 'Hook', 'build_hook', 'TextLoggerHook',
+    'TensorboardLoggerHook', 'WandbHookSeg', 'PlotStatisticsHook',
+    'PlotMultiClassStatisticsHook', 'RareClassSamplingHook'
+]

@@ -1,1 +1,3 @@
-__all__ = []
+from .fc_discriminator import FCDiscriminator
+
+__all__ = ['FCDiscriminator']

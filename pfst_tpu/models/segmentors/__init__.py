@@ -1,3 +1,6 @@
+from .domain_adaptor import (DomainAdaptor, DomainAdaptorAdv,
+                             DomainAdaptorV2, FMDAAdaptor, FMDAAdaptorV2)
 from .encoder_decoder import EncoderDecoder
 
-__all__ = ['EncoderDecoder']
+__all__ = ['EncoderDecoder', 'DomainAdaptor', 'DomainAdaptorAdv',
+           'DomainAdaptorV2', 'FMDAAdaptor', 'FMDAAdaptorV2']

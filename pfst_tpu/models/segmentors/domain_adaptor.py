@@ -1,0 +1,295 @@
+"""Domain-adaptation segmentors (secondary family; mirror of
+``rsiseg/models/segmentors/domain_adaptor*.py`` / ``fmda_adaptor*.py``).
+
+These take paired source+target batches per step:
+
+* ``DomainAdaptor`` (``domain_adaptor.py:17``): plain joint supervised
+  training on both domains (target labels may be pseudo labels loaded
+  by the pipeline).
+* ``DomainAdaptorAdv`` (``domain_adaptor_adv.py:31``): adversarial
+  entropy alignment — a generator step (segmentation + gen adversarial
+  loss against the frozen discriminator) and a discriminator step
+  (classify src/trg entropy maps), with two optimizers exactly like the
+  reference's dict-of-optimizers train_step.  Both phases fuse into ONE
+  jitted function; the two optax updates replace the two ``.step()``
+  calls.
+* ``DomainAdaptorV2`` / ``FMDAAdaptor`` / ``FMDAAdaptorV2``: aux-loss /
+  Fourier-mix variants sharing the same machinery.
+
+Each class is an orchestrator exposing the common
+``init_state``/``make_train_step``/``student_variables`` API consumed
+by ``pfst_tpu/apis/train.py``.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ...utils.misc import add_prefix
+from ..builder import (SEGMENTORS, build_discriminator, build_loss,
+                       build_segmentor)
+from ..uda.pfgst import parse_losses
+
+
+@struct.dataclass
+class AdvTrainState:
+    params: Any
+    batch_stats: Any
+    disc_params: Any
+    opt_state: Any
+    disc_opt_state: Any
+    step: jnp.ndarray
+
+
+class _DomainAdaptorBase:
+
+    def __init__(self, **cfg):
+        self.cfg = cfg
+        model_cfg = {
+            'type': 'EncoderDecoder',
+            'backbone': cfg['backbone'],
+            'decode_head': cfg['decode_head'],
+            'neck': cfg.get('neck'),
+            'auxiliary_head': cfg.get('auxiliary_head'),
+            'train_cfg': cfg.get('train_cfg'),
+            'test_cfg': cfg.get('test_cfg'),
+            'pretrained': cfg.get('pretrained'),
+        }
+        self.model = build_segmentor(model_cfg)
+        self.num_classes = cfg['decode_head']['num_classes']
+        self.weight_trg = cfg.get('weight_trg', 1.0)
+
+    def get_model(self):
+        return self.model
+
+    def student_variables(self, state):
+        v = {'params': state.params}
+        if state.batch_stats:
+            v['batch_stats'] = state.batch_stats
+        return v
+
+    def inference(self, state, img, **kw):
+        return self.model.apply(self.student_variables(state), img,
+                                method=self.model.inference, **kw)
+
+
+@SEGMENTORS.register_module()
+class DomainAdaptor(_DomainAdaptorBase):
+    """Joint src+trg supervised training (``domain_adaptor.py:17``)."""
+
+    def init_state(self, rng, img_shape, tx):
+        from ..uda.uda_decorator import UDATrainState
+        img = jnp.zeros(img_shape, jnp.float32)
+        variables = self.model.init({'params': rng}, img, train=False)
+        return UDATrainState(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            ema_params={}, ema_batch_stats={},
+            opt_state=tx.init(variables['params']),
+            step=jnp.zeros((), jnp.int32))
+
+    def make_train_step(self, tx, mean, std, collect_vis=False,
+                        donate=True, axis_name=None, jit=True):
+        model = self.model
+
+        def step_fn(state, batch, rng):
+            img_src = batch['img']
+            gt_src = batch['gt_semantic_seg'].astype(jnp.int32)
+            img_trg = batch['target_img']
+            gt_trg = batch.get('target_gt_semantic_seg')
+
+            def loss_fn(params):
+                log_vars = {}
+                (l_src, _), upd = model.apply(
+                    {'params': params,
+                     'batch_stats': state.batch_stats}, img_src, gt_src,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': rng},
+                    method=model.forward_train)
+                total, lv = parse_losses(add_prefix(l_src, 'src'))
+                log_vars.update(lv)
+                bs = upd['batch_stats']
+                if gt_trg is not None:
+                    (l_trg, _), upd = model.apply(
+                        {'params': params, 'batch_stats': bs}, img_trg,
+                        gt_trg.astype(jnp.int32), train=True,
+                        mutable=['batch_stats'],
+                        rngs={'dropout': jax.random.fold_in(rng, 1)},
+                        method=model.forward_train)
+                    t_trg, lv = parse_losses(add_prefix(l_trg, 'trg'))
+                    log_vars.update(lv)
+                    total = total + t_trg * self.weight_trg
+                    bs = upd['batch_stats']
+                return total, (log_vars, bs)
+
+            (total, (log_vars, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            log_vars['loss'] = total
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                bs = jax.lax.pmean(bs, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            return state.replace(params=new_params, batch_stats=bs,
+                                 opt_state=new_opt,
+                                 step=state.step + 1), log_vars, {}
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate and jit
+                       else ()) if jit else step_fn
+
+
+@SEGMENTORS.register_module()
+class DomainAdaptorAdv(_DomainAdaptorBase):
+    """Adversarial entropy alignment (``domain_adaptor_adv.py:31``)."""
+
+    def __init__(self, discriminator=None, disc_losses=None,
+                 gen_losses=None, **cfg):
+        super().__init__(**cfg)
+        self.discriminator = build_discriminator(
+            dict(discriminator or
+                 {'type': 'FCDiscriminator',
+                  'num_in_channels': self.num_classes}))
+        as_list = lambda x: x if isinstance(x, (list, tuple)) else \
+            ([x] if x else [])  # noqa: E731
+        self.disc_losses = [build_loss(dict(l))
+                            for l in as_list(disc_losses)]
+        self.gen_losses = [build_loss(dict(l))
+                           for l in as_list(gen_losses)]
+
+    def init_state(self, rng, img_shape, tx):
+        img = jnp.zeros(img_shape, jnp.float32)
+        r1, r2 = jax.random.split(rng)
+        variables = self.model.init({'params': r1}, img, train=False)
+        ent = jnp.zeros(img_shape[:3] + (self.num_classes,),
+                        jnp.float32)
+        disc_vars = self.discriminator.init({'params': r2}, ent)
+        if isinstance(tx, dict):
+            tx_model = tx.get('model') or tx.get('backbone') or \
+                list(tx.values())[0]
+            tx_disc = tx.get('discriminator') or list(tx.values())[-1]
+        else:
+            tx_model = tx_disc = tx
+        self._tx_model, self._tx_disc = tx_model, tx_disc
+        return AdvTrainState(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            disc_params=disc_vars['params'],
+            opt_state=tx_model.init(variables['params']),
+            disc_opt_state=tx_disc.init(disc_vars['params']),
+            step=jnp.zeros((), jnp.int32))
+
+    def make_train_step(self, tx, mean, std, collect_vis=False,
+                        donate=True, axis_name=None, jit=True):
+        model, disc = self.model, self.discriminator
+        if isinstance(tx, dict):
+            tx_model = tx.get('model') or list(tx.values())[0]
+            tx_disc = tx.get('discriminator') or list(tx.values())[-1]
+        else:
+            tx_model = tx_disc = tx
+
+        def forward_tensors(params, bs, img_src, gt_src, img_trg, rng):
+            (l_src, st_src), upd = model.apply(
+                {'params': params, 'batch_stats': bs}, img_src, gt_src,
+                train=True, mutable=['batch_stats'],
+                rngs={'dropout': rng}, method=model.forward_train)
+            out_trg = model.apply(
+                {'params': params, 'batch_stats': upd['batch_stats']},
+                img_trg, train=True,
+                mutable=['batch_stats'],
+                rngs={'dropout': jax.random.fold_in(rng, 1)})[0]
+            tensors = dict(
+                img_src=img_src, img_trg=img_trg,
+                logits_src=st_src['seg_logits'],
+                logits_trg=out_trg['seg_logits'],
+                x_src=st_src['features'], x_trg=out_trg['feats'])
+            return l_src, tensors, upd['batch_stats']
+
+        def step_fn(state, batch, rng):
+            img_src = batch['img']
+            gt_src = batch['gt_semantic_seg'].astype(jnp.int32)
+            img_trg = batch['target_img']
+
+            # ---- generator phase -----------------------------------
+            def gen_loss_fn(params):
+                l_src, tensors, bs = forward_tensors(
+                    params, state.batch_stats, img_src, gt_src,
+                    img_trg, rng)
+                total, log_vars = parse_losses(l_src)
+                disc_apply = lambda x: disc.apply(  # noqa: E731
+                    {'params': jax.lax.stop_gradient(
+                        state.disc_params)}, x)
+                for gl in self.gen_losses:
+                    out = gl(disc_apply, tensors)
+                    g_total, g_log = parse_losses(out)
+                    total = total + g_total
+                    log_vars.update(g_log)
+                return total, (log_vars, bs, tensors)
+
+            (g_total, (log_vars, bs, tensors)), g_grads = \
+                jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                    state.params)
+
+            # ---- discriminator phase -------------------------------
+            def disc_loss_fn(disc_params):
+                disc_apply = lambda x: disc.apply(  # noqa: E731
+                    {'params': disc_params}, x)
+                total = 0.0
+                d_log = {}
+                for dl in self.disc_losses:
+                    out = dl(disc_apply, jax.lax.stop_gradient(tensors))
+                    d_total, dlv = parse_losses(out)
+                    total = total + d_total
+                    d_log.update(dlv)
+                return total, d_log
+
+            (d_total, d_log), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(state.disc_params)
+            log_vars.update(d_log)
+            log_vars['loss'] = g_total + d_total
+
+            if axis_name is not None:
+                g_grads = jax.lax.pmean(g_grads, axis_name)
+                d_grads = jax.lax.pmean(d_grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                bs = jax.lax.pmean(bs, axis_name)
+
+            upd, new_opt = tx_model.update(g_grads, state.opt_state,
+                                           state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      upd)
+            dupd, new_dopt = tx_disc.update(d_grads,
+                                            state.disc_opt_state,
+                                            state.disc_params)
+            new_disc = jax.tree.map(lambda p, u: p + u,
+                                    state.disc_params, dupd)
+            return state.replace(
+                params=new_params, batch_stats=bs,
+                disc_params=new_disc, opt_state=new_opt,
+                disc_opt_state=new_dopt,
+                step=state.step + 1), log_vars, {}
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate and jit
+                       else ()) if jit else step_fn
+
+
+@SEGMENTORS.register_module()
+class DomainAdaptorV2(DomainAdaptor):
+    """aux-loss variant (``domain_adaptorv2.py:31``)."""
+
+
+@SEGMENTORS.register_module()
+class FMDAAdaptor(DomainAdaptor):
+    """Fourier-mix adaptor (``fmda_adaptor.py``); amplitude mixing is a
+    pipeline transform in this build."""
+
+
+@SEGMENTORS.register_module()
+class FMDAAdaptorV2(FMDAAdaptor):
+    """(``fmda_adaptor_v2.py``)."""

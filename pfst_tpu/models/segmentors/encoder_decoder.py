@@ -25,9 +25,15 @@ from ..losses.accuracy import accuracy
 
 def _head_losses(head, loss_fns, seg_logit, seg_label, seg_weight=None):
     """Reference ``decode_head.py:249-283``: resize logits to label size,
-    run each registered loss, add pixel accuracy."""
+    run each registered loss, add pixel accuracy; optional OHEM sampler
+    overrides the pixel weight (``decode_head.py:258-259``)."""
     seg_logit = resize(seg_logit, size=seg_label.shape[1:3],
                        mode='bilinear', align_corners=head.align_corners)
+    if getattr(head, 'sampler', None) is not None:
+        from ...core.seg import build_pixel_sampler
+        sampler = build_pixel_sampler(
+            head.sampler, ignore_index=head.ignore_index)
+        seg_weight = sampler.sample(seg_logit, seg_label)
     loss = {}
     for loss_fn in loss_fns:
         name = loss_fn.loss_name

@@ -74,10 +74,52 @@ class PFGST(UDADecorator):
         self.aux_losses = [build_loss(dict(l)) for l in (aux_losses or [])]
         self.apply_aux = bool(self.aux_losses)
 
+    # which view of the target image feeds the ClassMix blend:
+    # PFGST mixes the strongly-augmented view (``pfgst.py:289``), DACS
+    # the plain target image (``dacs.py:253``)
+    mix_view = 'strong_aug'
+    # PGST (``pgst.py:108-115``): additionally ClassMix-blend the
+    # teacher's feature map with the (detached) source feature map at
+    # this level before the similarity losses; None disables.
+    mix_ema_feat_level = None
+    # FMDA/PGSTTRG-style: train on the strongly-augmented target view
+    # directly instead of ClassMix (``fmda.py:309-325``)
+    target_self_training = False
+
+    def feat_dist_loss(self, params, imnet_params, img, gt, src_feat):
+        """DACS ImageNet feature-distance regulariser
+        (``dacs.py:151-161,204-211``): L2 distance between student and
+        frozen-init backbone features on (optionally) thing-class
+        pixels."""
+        model = self.model
+        # frozen copy runs train-mode BN (the reference never switches
+        # its imnet model to eval), stats discarded
+        feats, _ = model.apply(
+            {'params': jax.lax.stop_gradient(imnet_params)}, img,
+            train=True, mutable=['batch_stats'],
+            method=model.extract_feat)
+        f_imnet = jax.lax.stop_gradient(feats[-1])
+        f_stu = src_feat[-1] if isinstance(src_feat, (tuple, list)) \
+            else src_feat
+        diff = jnp.sqrt(jnp.sum((f_stu - f_imnet)**2, axis=-1) + 1e-12)
+        fd_classes = self.cfg.get('imnet_feature_dist_classes')
+        if fd_classes:
+            scale = gt.shape[1] // f_stu.shape[1]
+            gt_small = gt[:, ::scale, ::scale]
+            mask = jnp.zeros_like(gt_small, dtype=bool)
+            for c in fd_classes:
+                mask = mask | (gt_small == c)
+            from ..losses.utils import masked_mean
+            fd = masked_mean(diff, mask)
+        else:
+            fd = jnp.mean(diff)
+        return self.fdist_lambda * fd
+
     # ------------------------------------------------------------------
     def forward_train(self, params, batch_stats, ema_params,
                       ema_batch_stats, step, batch, rng,
-                      mean, std, collect_vis: bool = False):
+                      mean, std, collect_vis: bool = False,
+                      imnet_params=None):
         """One PFGST iteration's loss (pure; differentiated wrt params).
 
         Mirrors ``pfgst.py:179-356``.  Returns (total_loss, aux_out).
@@ -143,13 +185,21 @@ class PFGST(UDADecorator):
                 rows >= h - self.psweight_ignore_bottom, 0.0,
                 pseudo_weight)
 
+        # ---- optional DACS fdist regulariser (``dacs.py:204-211``) ----
+        if self.enable_fdist and imnet_params:
+            fd = self.feat_dist_loss(params, imnet_params, img, gt,
+                                     clean_states['features'])
+            log_vars['loss_imnet_feat_dist'] = fd
+            total_loss = total_loss + fd
+
         # ---- ClassMix + strong aug (``pfgst.py:280-300``) -------------
-        if self.apply_no_mix:
+        if self.target_self_training or self.apply_no_mix:
             mix_masks = jnp.zeros((b, h, w), jnp.float32)
             trg_img = target_img
         else:
             mix_masks = get_class_masks(k_mix, gt, self.num_classes)
-            trg_img = target_img_strong
+            trg_img = target_img_strong if self.mix_view == \
+                'strong_aug' else target_img
         jitter_gate = jax.random.uniform(k_gate_j, ())
         blur_gate = jax.random.uniform(k_gate_b, ()) if self.blur \
             else jnp.zeros(())
@@ -170,9 +220,30 @@ class PFGST(UDADecorator):
                 key, m, target_pair=(jnp.ones_like(pw), pw))
             return mixed_img, mixed_lbl, mixed_w
 
-        mixed_img, mixed_lbl, pseudo_weight = jax.vmap(per_sample)(
-            sample_keys, mix_masks, img, trg_img,
-            gt, pseudo_label, pseudo_weight)
+        if self.target_self_training:
+            # FMDA/PGSTTRG: strong-augment the whole target image,
+            # train against the pseudo labels (``fmda.py:309-325``)
+            def per_sample_trg(key, im_t, pl):
+                aug, lbl = strong_transform(
+                    key, jnp.zeros(im_t.shape[:2], jnp.float32),
+                    data_pair=(im_t, im_t),
+                    target_pair=(pl.astype(jnp.float32),
+                                 pl.astype(jnp.float32)),
+                    jitter_gate=jitter_gate, blur_gate=blur_gate,
+                    color_jitter_s=self.color_jitter_s,
+                    color_jitter_p=self.color_jitter_p,
+                    mean=mean, std=std,
+                    denorm_type=self.strong_aug_denorm_type)
+                return aug, lbl
+
+            mixed_img, mixed_lbl = jax.vmap(per_sample_trg)(
+                sample_keys, target_img, pseudo_label)
+            mix_prefix = 'trg'
+        else:
+            mixed_img, mixed_lbl, pseudo_weight = jax.vmap(per_sample)(
+                sample_keys, mix_masks, img, trg_img,
+                gt, pseudo_label, pseudo_weight)
+            mix_prefix = 'mix'
         mixed_lbl = mixed_lbl.astype(jnp.int32)
 
         # ---- mixed-pass training (``pfgst.py:303-310``) ---------------
@@ -183,9 +254,27 @@ class PFGST(UDADecorator):
         new_batch_stats = updates['batch_stats']
         mixed_feats = mix_states['features']
         mixed_logits = mix_states['seg_logits']
-        mix_loss, mix_log = parse_losses(add_prefix(mix_losses, 'mix'))
+        mix_loss, mix_log = parse_losses(
+            add_prefix(mix_losses, mix_prefix))
         log_vars.update(mix_log)
         total_loss = total_loss + mix_loss * self.trg_loss_weight
+
+        # ---- PGST ema-feature mixing (``pgst.py:108-115``) -------------
+        if self.mix_ema_feat_level is not None and not \
+                self.target_self_training:
+            lvl = self.mix_ema_feat_level
+            src_l = jax.lax.stop_gradient(
+                clean_states['features'][lvl])
+            ema_l = ema_states['feats'][lvl] if isinstance(
+                ema_feats, (tuple, list)) else ema_feats
+            fh, fw = src_l.shape[1:3]
+            from ...ops import resize as _resize
+            m_small = _resize(mix_masks[..., None], size=(fh, fw),
+                              mode='nearest')
+            mixed_ema = m_small * src_l + (1.0 - m_small) * ema_l
+            ema_feats = tuple(
+                mixed_ema if i == lvl else None
+                for i in range(lvl + 1))
 
         # ---- aux (PFGST) losses (``pfgst.py:312-342``) -----------------
         if self.apply_aux:
@@ -254,7 +343,8 @@ class PFGST(UDADecorator):
                 return self.forward_train(
                     params, state.batch_stats, state.ema_params,
                     state.ema_batch_stats, state.step, batch, rng,
-                    mean, std, collect_vis=collect_vis)
+                    mean, std, collect_vis=collect_vis,
+                    imnet_params=state.imnet_params)
 
             (total, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

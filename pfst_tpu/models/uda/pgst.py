@@ -1,0 +1,45 @@
+"""PGST family (mirror of ``rsiseg/models/uda/pgst*.py``).
+
+``PGST`` (``pgst.py:54``): PFGST's predecessor — additionally
+ClassMix-blends the teacher's feature map with the detached source
+feature map at ``feat_level`` before the similarity losses
+(``pgst.py:108-115``).  ``PGSTTRG`` drops mixing and self-trains on the
+strongly-augmented target (``pgst_trg.py``).  ``PGSTV4`` /
+``PGSTMixFeat`` are incremental variants sharing the same fused step.
+"""
+from __future__ import annotations
+
+from ..builder import UDA
+from .pfgst import PFGST
+
+
+@UDA.register_module()
+class PGST(PFGST):
+
+    def __init__(self, **cfg):
+        cfg.setdefault('use_decoded_feats', False)
+        super().__init__(**cfg)
+        self.feat_level = cfg.get('feat_level', 3)
+
+    @property
+    def mix_ema_feat_level(self):
+        return self.feat_level
+
+
+@UDA.register_module()
+class PGSTTRG(PFGST):
+    target_self_training = True
+
+    def __init__(self, **cfg):
+        cfg.setdefault('use_decoded_feats', False)
+        super().__init__(**cfg)
+
+
+@UDA.register_module()
+class PGSTV4(PGST):
+    """(``pgst_v4.py``) same fused step as PGST."""
+
+
+@UDA.register_module()
+class PGSTMixFeat(PGST):
+    """(``pgst_mix_feat.py``) feature-space mixing variant of PGST."""

@@ -30,6 +30,9 @@ class UDATrainState:
     ema_batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # frozen ImageNet-init copy for the DACS feature-distance
+    # regulariser (``dacs.py:151-161``); empty when fdist is off
+    imnet_params: Any = None
 
 
 class UDADecorator:
@@ -55,6 +58,7 @@ class UDADecorator:
         variables = self.model.init({'params': rng}, img, train=False)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
+        enable_fdist = bool(getattr(self, 'enable_fdist', False))
         return UDATrainState(
             params=params,
             batch_stats=batch_stats,
@@ -63,7 +67,9 @@ class UDADecorator:
             ema_params=jax.tree.map(lambda x: x, params),
             ema_batch_stats=jax.tree.map(lambda x: x, batch_stats),
             opt_state=tx.init(params),
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((), jnp.int32),
+            imnet_params=jax.tree.map(lambda x: x, params)
+            if enable_fdist else {})
 
     def ema_update(self, state: UDATrainState,
                    alpha: float) -> UDATrainState:

@@ -1,7 +1,9 @@
 import os
 
 # 8 virtual CPU devices so multi-chip sharding tests run anywhere.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force-override: the session environment may pre-set JAX_PLATFORMS to
+# a TPU platform, but the unit suite must run on the CPU mesh.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
