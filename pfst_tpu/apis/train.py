@@ -197,23 +197,51 @@ def train_segmentor(cfg,
         print_log(f'resumed from {resume_from} @ iter {start_iter}',
                   logger)
 
-    if n_dev > 1:
-        mesh = get_mesh()
-        step_fn = make_sharded_train_step(algo, tx, norm['mean'],
-                                          norm['std'], mesh)
-        put = lambda b: shard_batch(  # noqa: E731
-            {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
-            mesh)
-    else:
-        step_fn = algo.make_train_step(tx, norm['mean'], norm['std'])
-        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
-                         if isinstance(v, np.ndarray)}
-
     log_interval = (cfg.get('log_config') or {}).get('interval', 50)
     ckpt_interval = (cfg.get('checkpoint_config') or {}).get(
         'interval', 4000)
     eval_cfg = cfg.get('evaluation') or {}
     eval_interval = eval_cfg.get('interval', 4000)
+
+    # custom hooks (log_config hooks + cfg.custom_hooks), reference
+    # ``apis/train.py:138-182``
+    from ..core.hooks import build_hook
+    hook_cfgs = list((cfg.get('log_config') or {}).get('hooks') or [])
+    hook_cfgs += list(cfg.get('custom_hooks') or [])
+    hooks = []
+    for hc in hook_cfgs:
+        try:
+            hooks.append(build_hook(hc))
+        except KeyError as e:
+            print_log(f'skipping unknown hook {hc}: {e}', logger)
+    ctx = {
+        'work_dir': work_dir,
+        'iter': 0,
+        'algo': algo,
+        'palette': getattr(train_ds, 'PALETTE', None),
+        'source_dataset': getattr(train_ds, 'source', train_ds),
+        'cfg': cfg,
+    }
+    collect_vis = any(
+        type(h).__name__ in ('WandbHookSeg', 'PlotStatisticsHook',
+                             'PlotMultiClassStatisticsHook')
+        for h in hooks)
+    for h in hooks:
+        h.before_run(ctx)
+
+    if n_dev > 1:
+        mesh = get_mesh()
+        step_fn = make_sharded_train_step(algo, tx, norm['mean'],
+                                          norm['std'], mesh,
+                                          collect_vis=collect_vis)
+        put = lambda b: shard_batch(  # noqa: E731
+            {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
+            mesh)
+    else:
+        step_fn = algo.make_train_step(tx, norm['mean'], norm['std'],
+                                       collect_vis=collect_vis)
+        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
+                         if isinstance(v, np.ndarray)}
 
     device_batch = put(first)
     t_data, t_step = 0.0, 0.0
@@ -221,7 +249,10 @@ def train_segmentor(cfg,
     log_accum: Dict[str, float] = {}
     for it in range(start_iter, max_iters):
         step_rng = jax.random.fold_in(rng, it)
-        state, log_vars, _ = step_fn(state, device_batch, step_rng)
+        state, log_vars, vis_states = step_fn(state, device_batch,
+                                              step_rng)
+        ctx['iter'] = it + 1
+        ctx['state'] = state
         t0 = time.time()
         try:
             nxt = next(batch_iter)
@@ -241,6 +272,9 @@ def train_segmentor(cfg,
                 f'time: {dt / log_interval:.3f}s '
                 f'data: {t_data / log_interval:.3f}s  {msg}', logger)
             t_last, t_data = time.time(), 0.0
+            for h in hooks:
+                h.after_train_iter(ctx, log_vars,
+                                   vis_states if collect_vis else None)
 
         if work_dir and (it + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, it + 1, jax.device_get(state),
@@ -248,12 +282,16 @@ def train_segmentor(cfg,
             print_log(f'checkpoint saved @ iter {it + 1}', logger)
 
         if validate and (it + 1) % eval_interval == 0:
-            evaluate_during_train(cfg, algo, state, eval_cfg, logger,
-                                  eval_fn)
+            metrics = evaluate_during_train(cfg, algo, state, eval_cfg,
+                                            logger, eval_fn)
+            for h in hooks:
+                h.after_eval(ctx, metrics or {})
 
     if work_dir:
         save_checkpoint(work_dir, max_iters, jax.device_get(state),
                         meta=meta)
+    for h in hooks:
+        h.after_run(ctx)
     return state
 
 

@@ -2,12 +2,22 @@ import os
 
 # 8 virtual CPU devices so multi-chip sharding tests run anywhere.
 # Force-override: the session environment may pre-set JAX_PLATFORMS to
-# a TPU platform, but the unit suite must run on the CPU mesh.
+# a TPU platform, AND pytest plugin auto-loading imports jax before
+# this conftest — so set both the env var and the live jax config
+# (effective as long as no backend has been initialized yet).
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.default_backend() == 'cpu', (
+    'unit tests must run on the virtual CPU mesh, got '
+    f'{jax.default_backend()}')
+assert jax.local_device_count() == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

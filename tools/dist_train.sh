@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Multi-host training launcher (mirror of the reference dist_train.sh,
+# torch.distributed.launch -> jax.distributed).
+# Usage: NNODES=4 NODE_RANK=0 COORDINATOR_ADDRESS=host:1234 \
+#        bash tools/dist_train.sh CONFIG [extra args]
+CONFIG=$1
+shift
+COORDINATOR_ADDRESS=${COORDINATOR_ADDRESS:-"127.0.0.1:29500"} \
+python "$(dirname "$0")/train.py" "$CONFIG" --launcher jax "$@"
