@@ -286,6 +286,21 @@ def train_segmentor(cfg,
                                             logger, eval_fn)
             for h in hooks:
                 h.after_eval(ctx, metrics or {})
+            # save-best tracking (EvalHook greater_keys=['mIoU','mAcc',
+            # 'aAcc'], ``eval_hooks.py:45-58``)
+            save_best = eval_cfg.get('save_best')
+            if work_dir and save_best and metrics and \
+                    save_best in metrics:
+                best = ctx.get('best_score', -1.0)
+                if metrics[save_best] > best:
+                    ctx['best_score'] = metrics[save_best]
+                    save_checkpoint(
+                        osp.join(work_dir, 'best'), it + 1,
+                        jax.device_get(state), meta=meta)
+                    print_log(
+                        f'new best {save_best}='
+                        f'{metrics[save_best]:.4f} @ iter {it + 1}',
+                        logger)
 
     if work_dir:
         save_checkpoint(work_dir, max_iters, jax.device_get(state),

@@ -93,20 +93,19 @@ class PFGSTLoss:
         return unfold_neighbors(x, self.kernel_size, self.dilation)
 
     def get_sim_feat(self, x, size):
-        """(feats, sim) — sim (B, H, W, k^2) (``pfgst_loss.py:181-201``)."""
+        """(feats, sim) — sim (B, H, W, k^2) (``pfgst_loss.py:181-201``).
+
+        Dispatches to the fused Pallas kernel on TPU
+        (``pfst_tpu/ops/pallas_sim.py``) so the k^2-unfolded feature
+        tensor is never materialised in HBM.
+        """
+        from ...ops.pallas_sim import neighborhood_similarity
         feats = _nearest(x, size)
-        unf = self._unfold(feats)            # (B,H,W,k2,C)
-        center = feats[:, :, :, None, :]
-        if self.sim_type == 'gaussian':
-            d2 = jnp.sum((unf - center)**2, axis=-1)
-            sim = jnp.exp(-d2 / self.sigma**2)
-        elif self.sim_type == 'cosine':
-            num = jnp.sum(unf * center, axis=-1)
-            na = jnp.sqrt(jnp.sum(unf**2, axis=-1))
-            nb = jnp.sqrt(jnp.sum(center**2, axis=-1))
-            sim = num / jnp.maximum(na * nb, _EPS)
-        else:
+        if self.sim_type not in ('gaussian', 'cosine'):
             raise ValueError(f'unknown sim_type {self.sim_type}')
+        sim = neighborhood_similarity(
+            feats, self.kernel_size, self.dilation,
+            sim_type=self.sim_type, sigma=float(self.sigma))
         return feats, sim
 
     def get_cross_prob(self, logits_trg, logits_ema):

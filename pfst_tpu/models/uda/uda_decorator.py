@@ -59,17 +59,19 @@ class UDADecorator:
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         enable_fdist = bool(getattr(self, 'enable_fdist', False))
+        # deep copies, NOT aliases: a donated train step must never see
+        # the same buffer through two arguments ("donate twice" error)
+        copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
         return UDATrainState(
             params=params,
             batch_stats=batch_stats,
             # reference inits the teacher from the student at iter 0
             # (``pfgst.py:105-114``)
-            ema_params=jax.tree.map(lambda x: x, params),
-            ema_batch_stats=jax.tree.map(lambda x: x, batch_stats),
+            ema_params=copy(params),
+            ema_batch_stats=copy(batch_stats),
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
-            imnet_params=jax.tree.map(lambda x: x, params)
-            if enable_fdist else {})
+            imnet_params=copy(params) if enable_fdist else {})
 
     def ema_update(self, state: UDATrainState,
                    alpha: float) -> UDATrainState:
