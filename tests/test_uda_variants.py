@@ -1,0 +1,108 @@
+"""Every UDA algorithm's fused step traces and runs one iteration."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from conftest import tiny_model_cfg
+from pfst_tpu.models import build_train_model
+
+MEAN = [123.675, 116.28, 103.53]
+STD = [58.395, 57.12, 57.375]
+
+AUX = [dict(type='PFGSTLoss', kernel_size=3, dilation=1, top_k=3,
+            weights={'src_pos': 0.1, 'src_neg': 0.1, 'sim_pos': 0.1,
+                     'sim_neg': 0.1, 'src_pos_std': 0.1,
+                     'src_neg_std': 0.1},
+            sim_type='cosine', feat_level=None, detach_unfold=True,
+            downscale=0.5)]
+
+
+def _uda_cfg(uda_type, **over):
+    base = dict(type=uda_type, alpha=0.99, pseudo_threshold=0.9,
+                pseudo_weight_ignore_top=0,
+                pseudo_weight_ignore_bottom=0,
+                imnet_feature_dist_lambda=0, mix='class', blur=False,
+                color_jitter_strength=0.2,
+                color_jitter_probability=0.2,
+                print_grad_magnitude=False)
+    base.update(over)
+    return dict(uda=base, model=tiny_model_cfg(),
+                runner=dict(max_iters=10))
+
+
+def _batch(b=2, h=32, w=32):
+    rs = np.random.RandomState(0)
+    return dict(
+        img=jnp.asarray(rs.randn(b, h, w, 3), jnp.float32),
+        gt_semantic_seg=jnp.asarray(rs.randint(0, 6, (b, h, w))),
+        target_img=jnp.asarray(rs.randn(b, h, w, 3), jnp.float32),
+        target_img_strong_aug=jnp.asarray(rs.randn(b, h, w, 3),
+                                          jnp.float32))
+
+
+def _run_one(cfg):
+    algo = build_train_model(cfg)
+    tx = optax.adamw(1e-3)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = algo.make_train_step(tx, MEAN, STD, donate=False)
+    state2, log_vars, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(log_vars['loss']))
+    return log_vars
+
+
+@pytest.mark.parametrize('uda_type,extra', [
+    ('PFGST', dict(use_decoded_feats=True, thre_type='all',
+                   aux_losses=AUX)),
+    ('PFGST', dict(use_decoded_feats=False, thre_type='part',
+                   aux_losses=AUX)),
+    ('PFST', dict(aux_losses=AUX)),
+    ('PFSTV4', dict(aux_losses=AUX)),
+    ('DACS', dict()),
+    ('DACS', dict(imnet_feature_dist_lambda=0.005)),
+    ('PGST', dict(aux_losses=AUX, feat_level=3)),
+    ('PGSTTRG', dict(aux_losses=AUX)),
+    ('FMDA', dict(aux_losses=AUX)),
+])
+def test_uda_variant_step(uda_type, extra):
+    log_vars = _run_one(_uda_cfg(uda_type, **extra))
+    if uda_type in ('PGSTTRG', 'FMDA'):
+        assert any(k.startswith('trg.') for k in log_vars)
+    elif uda_type != 'DACS' or True:
+        assert any(k.startswith('mix.') or k.startswith('trg.')
+                   for k in log_vars)
+    if extra.get('imnet_feature_dist_lambda'):
+        assert 'loss_imnet_feat_dist' in log_vars
+
+
+def test_adversarial_adaptor_step():
+    cfg = tiny_model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptorAdv',
+        backbone=cfg['backbone'],
+        decode_head=cfg['decode_head'],
+        auxiliary_head=None,
+        discriminator=dict(type='FCDiscriminator', num_in_channels=6,
+                           ndf=8),
+        gen_losses=[dict(type='AdvLoss', loss_type='advent',
+                         net_type='gen',
+                         weights={'loss_gen': 0.01})],
+        disc_losses=[dict(type='AdvLoss', loss_type='advent',
+                          net_type='disc',
+                          weights={'loss_disc_src': 0.5,
+                                   'loss_disc_trg': 0.5})],
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    tx = optax.adam(1e-4)
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    b = _batch()
+    state2, log_vars, _ = step(state, b, jax.random.PRNGKey(1))
+    assert 'loss_gen' in log_vars and 'loss_disc_src' in log_vars
+    assert np.isfinite(float(log_vars['loss']))
+    # discriminator params moved
+    moved = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                         state.disc_params, state2.disc_params)
+    assert max(jax.tree.leaves(moved)) > 0
