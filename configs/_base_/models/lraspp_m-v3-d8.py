@@ -1,0 +1,16 @@
+# Lite R-ASPP + MobileNetV3-large.
+norm_cfg = dict(type='BN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    pretrained=None,
+    backbone=dict(type='MobileNetV3', arch='large',
+                  out_indices=(1, 3, 16), norm_cfg=norm_cfg),
+    decode_head=dict(
+        type='LRASPPHead', in_channels=(16, 24, 960),
+        in_index=(0, 1, 2), input_transform='multiple_select',
+        channels=128, branch_channels=(32, 64), dropout_ratio=0.1,
+        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))

@@ -1,12 +1,17 @@
+from .fast_cnns import (BiSeNetV1, BiSeNetV2, CGNet, ERFNet, FastSCNN,
+                        ICNet, STDCNet)
+from .hrnet import HRNet
 from .mit import MiT, MixVisionTransformer
 from .mobilenet import MobileNetV2, MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .resnext import ResNeXt
 from .swin import SwinTransformer
 from .unet import UNet
+from .vit import BEiT, MAE, VisionTransformer
 
 __all__ = [
     'ResNet', 'ResNetV1c', 'ResNetV1d', 'ResNeXt', 'MobileNetV2',
     'MobileNetV3', 'MixVisionTransformer', 'MiT', 'SwinTransformer',
-    'UNet'
+    'UNet', 'HRNet', 'VisionTransformer', 'BEiT', 'MAE', 'FastSCNN', 'CGNet', 'ERFNet', 'STDCNet',
+    'BiSeNetV1', 'BiSeNetV2', 'ICNet'
 ]

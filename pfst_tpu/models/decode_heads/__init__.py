@@ -1,13 +1,21 @@
 from .aspp_head import ASPPHead, DepthwiseSeparableASPPHead
 from .attention_heads import DAHead, GCHead, NLHead
+from .context_heads import (ANNHead, APCHead, DMHead, DNLHead, EMAHead,
+                            OCRHead)
+from .enc_head import EncHead
 from .fcn_head import FCNHead
+from .isa_cc_heads import CCHead, ISAHead, PSAHead
 from .lraspp_head import LRASPPHead
 from .psp_head import PSPHead
 from .segformer_head import SegformerHead
+from .transformer_heads import (SegmenterMaskTransformerHead,
+                                SETRMLAHead, SETRUPHead)
 from .uper_head import UPerHead
 
 __all__ = [
     'ASPPHead', 'DepthwiseSeparableASPPHead', 'FCNHead', 'PSPHead',
     'UPerHead', 'SegformerHead', 'LRASPPHead', 'DAHead', 'NLHead',
-    'GCHead'
+    'GCHead', 'OCRHead', 'DNLHead', 'ANNHead', 'APCHead', 'DMHead',
+    'EMAHead', 'EncHead', 'SETRUPHead', 'SETRMLAHead',
+    'SegmenterMaskTransformerHead', 'ISAHead', 'CCHead', 'PSAHead'
 ]

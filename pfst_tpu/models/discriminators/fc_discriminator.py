@@ -20,7 +20,11 @@ class FCDiscriminator(nn.Module):
     def __call__(self, x, train: bool = False):
         widths = [self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8, 1]
         for i, w in enumerate(widths):
-            x = nn.Conv(w, (4, 4), strides=(2, 2),
+            # stop downsampling once the map is tiny (shapes are static
+            # at trace time) — guards small-logit inputs from collapsing
+            # to empty tensors
+            stride = 2 if min(x.shape[1], x.shape[2]) >= 4 else 1
+            x = nn.Conv(w, (4, 4), strides=(stride, stride),
                         padding=((1, 1), (1, 1)), dtype=self.dtype,
                         name=f'conv{i}')(x)
             if i < len(widths) - 1:

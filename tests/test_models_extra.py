@@ -1,0 +1,70 @@
+"""Smoke tests for the second wave of backbones/heads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfst_tpu.models import build_backbone, build_head
+
+RNG = jax.random.PRNGKey(0)
+NORM = dict(type='BN')
+
+
+def run_module(mod, x, **kw):
+    variables = mod.init({'params': RNG}, x, **kw)
+    return mod.apply(variables, x, **kw)
+
+
+def _pyramid(chs=(8, 16, 32, 64), sizes=(16, 8, 4, 2)):
+    return tuple(
+        jnp.asarray(np.random.RandomState(i).randn(1, s, s, c),
+                    jnp.float32) for i, (c, s) in enumerate(
+                        zip(chs, sizes)))
+
+
+def test_hrnet_tiny():
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(1,), num_channels=(4,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(1, 1), num_channels=(4, 8)),
+        stage3=dict(num_modules=1, num_branches=3, block='BASIC',
+                    num_blocks=(1, 1, 1), num_channels=(4, 8, 16)),
+        stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                    num_blocks=(1, 1, 1, 1),
+                    num_channels=(4, 8, 16, 32)))
+    bb = build_backbone(dict(type='HRNet', extra=extra, norm_cfg=NORM))
+    outs = run_module(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert [o.shape[-1] for o in outs] == [4, 8, 16, 32]
+
+
+def test_vit_backbone():
+    bb = build_backbone(dict(type='VisionTransformer', img_size=32,
+                             patch_size=8, embed_dims=16, num_layers=2,
+                             num_heads=2, out_indices=(0, 1)))
+    outs = run_module(bb, jnp.zeros((1, 64, 64, 3)))
+    assert len(outs) == 2
+    assert outs[0].shape == (1, 8, 8, 16)  # pos-embed resized 4->8
+
+
+@pytest.mark.parametrize('head_type', ['OCRHead', 'DNLHead', 'APCHead',
+                                       'DMHead', 'EMAHead'])
+def test_context_heads(head_type):
+    head = build_head(dict(type=head_type, in_channels=64, in_index=3,
+                           channels=8, num_classes=5, norm_cfg=NORM,
+                           **({'ema_channels': 8, 'num_bases': 4}
+                              if head_type == 'EMAHead' else {})))
+    variables = head.init({'params': RNG}, _pyramid())
+    logits, feats = head.apply(variables, _pyramid())
+    assert logits.shape == (1, 2, 2, 5)
+
+
+def test_ann_head():
+    head = build_head(dict(type='ANNHead', in_channels=(32, 64),
+                           in_index=(2, 3), channels=8, num_classes=5,
+                           input_transform='multiple_select',
+                           norm_cfg=NORM))
+    variables = head.init({'params': RNG}, _pyramid())
+    logits, _ = head.apply(variables, _pyramid())
+    assert logits.shape == (1, 2, 2, 5)

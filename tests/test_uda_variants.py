@@ -11,12 +11,20 @@ from pfst_tpu.models import build_train_model
 MEAN = [123.675, 116.28, 103.53]
 STD = [58.395, 57.12, 57.375]
 
-AUX = [dict(type='PFGSTLoss', kernel_size=3, dilation=1, top_k=3,
-            weights={'src_pos': 0.1, 'src_neg': 0.1, 'sim_pos': 0.1,
-                     'sim_neg': 0.1, 'src_pos_std': 0.1,
-                     'src_neg_std': 0.1},
-            sim_type='cosine', feat_level=None, detach_unfold=True,
-            downscale=0.5)]
+def _aux(feat_level=None):
+    return [dict(type='PFGSTLoss', kernel_size=3, dilation=1, top_k=3,
+                 weights={'src_pos': 0.1, 'src_neg': 0.1,
+                          'sim_pos': 0.1, 'sim_neg': 0.1,
+                          'src_pos_std': 0.1, 'src_neg_std': 0.1},
+                 sim_type='cosine', feat_level=feat_level,
+                 detach_unfold=True, downscale=0.5)]
+
+
+# feat_level=None is only valid with use_decoded_feats=True (single
+# tensor); backbone-feature variants index a pyramid level — same
+# constraint as the reference loss.
+AUX = _aux(None)
+AUX3 = _aux(3)
 
 
 def _uda_cfg(uda_type, **over):
@@ -57,14 +65,14 @@ def _run_one(cfg):
     ('PFGST', dict(use_decoded_feats=True, thre_type='all',
                    aux_losses=AUX)),
     ('PFGST', dict(use_decoded_feats=False, thre_type='part',
-                   aux_losses=AUX)),
-    ('PFST', dict(aux_losses=AUX)),
-    ('PFSTV4', dict(aux_losses=AUX)),
+                   aux_losses=AUX3)),
+    ('PFST', dict(aux_losses=AUX3)),
+    ('PFSTV4', dict(aux_losses=AUX3)),
     ('DACS', dict()),
     ('DACS', dict(imnet_feature_dist_lambda=0.005)),
-    ('PGST', dict(aux_losses=AUX, feat_level=3)),
-    ('PGSTTRG', dict(aux_losses=AUX)),
-    ('FMDA', dict(aux_losses=AUX)),
+    ('PGST', dict(aux_losses=AUX3, feat_level=3)),
+    ('PGSTTRG', dict(aux_losses=AUX3)),
+    ('FMDA', dict(aux_losses=AUX3)),
 ])
 def test_uda_variant_step(uda_type, extra):
     log_vars = _run_one(_uda_cfg(uda_type, **extra))
@@ -96,9 +104,11 @@ def test_adversarial_adaptor_step():
                                    'loss_disc_trg': 0.5})],
         train_cfg=dict(), test_cfg=dict(mode='whole')))
     tx = optax.adam(1e-4)
-    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    # 64^2 inputs: head logits are 16^2 and survive the discriminator's
+    # five stride-2 convs (the reference runs it on 128^2 logits)
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
     step = adaptor.make_train_step(tx, MEAN, STD, donate=False)
-    b = _batch()
+    b = _batch(h=64, w=64)
     state2, log_vars, _ = step(state, b, jax.random.PRNGKey(1))
     assert 'loss_gen' in log_vars and 'loss_disc_src' in log_vars
     assert np.isfinite(float(log_vars['loss']))
