@@ -60,6 +60,8 @@ def build():
 
 
 def main():
+    from pfst_tpu.utils.set_env import setup_environment
+    setup_environment()
     fn, variables, img = build()
     # vary the input every step and force a host transfer at the end:
     # on tunneled backends `block_until_ready` may not actually block

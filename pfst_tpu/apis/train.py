@@ -238,8 +238,18 @@ def train_segmentor(cfg,
             {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
             mesh)
     else:
-        step_fn = algo.make_train_step(tx, norm['mean'], norm['std'],
-                                       collect_vis=collect_vis)
+        try:
+            # UDA steps split into two XLA programs: remote-compile
+            # services cap program size and the fused 512^2 step can
+            # exceed it (see PERF.md)
+            step_fn = algo.make_train_step(tx, norm['mean'],
+                                           norm['std'],
+                                           collect_vis=collect_vis,
+                                           split_compile=True)
+        except TypeError:
+            step_fn = algo.make_train_step(tx, norm['mean'],
+                                           norm['std'],
+                                           collect_vis=collect_vis)
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
                          if isinstance(v, np.ndarray)}
 

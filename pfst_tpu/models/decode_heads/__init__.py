@@ -6,6 +6,8 @@ from .enc_head import EncHead
 from .fcn_head import FCNHead
 from .isa_cc_heads import CCHead, ISAHead, PSAHead
 from .lraspp_head import LRASPPHead
+from .point_rend import (DPTHead, IterativeDecodeHead, PointRendHead,
+                         STDCHead)
 from .psp_head import PSPHead
 from .segformer_head import SegformerHead
 from .transformer_heads import (SegmenterMaskTransformerHead,
@@ -17,5 +19,6 @@ __all__ = [
     'UPerHead', 'SegformerHead', 'LRASPPHead', 'DAHead', 'NLHead',
     'GCHead', 'OCRHead', 'DNLHead', 'ANNHead', 'APCHead', 'DMHead',
     'EMAHead', 'EncHead', 'SETRUPHead', 'SETRMLAHead',
-    'SegmenterMaskTransformerHead', 'ISAHead', 'CCHead', 'PSAHead'
+    'SegmenterMaskTransformerHead', 'ISAHead', 'CCHead', 'PSAHead', 'PointRendHead', 'STDCHead',
+    'DPTHead', 'IterativeDecodeHead'
 ]

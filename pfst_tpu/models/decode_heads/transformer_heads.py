@@ -76,12 +76,17 @@ class SETRMLAHead(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         feats = [inputs[i] for i in self.in_index]
+        # SETR's MLA levels share one resolution (plain-ViT features);
+        # align to the first level's upsampled size so pyramid inputs
+        # also work.
+        target = (feats[0].shape[1] * self.up_scale,
+                  feats[0].shape[2] * self.up_scale)
         ups = []
         for i, f in enumerate(feats):
             y = ConvModule(self.mla_channels, 3, padding=1,
                            norm_cfg=self.norm_cfg, dtype=self.dtype,
                            name=f'mla_conv{i}')(f, train=train)
-            y = resize(y, scale_factor=self.up_scale, mode='bilinear',
+            y = resize(y, size=target, mode='bilinear',
                        align_corners=self.align_corners)
             ups.append(y)
         x = jnp.concatenate(ups, axis=-1)

@@ -22,10 +22,12 @@ class FCDiscriminator(nn.Module):
         for i, w in enumerate(widths):
             # stop downsampling once the map is tiny (shapes are static
             # at trace time) — guards small-logit inputs from collapsing
-            # to empty tensors
-            stride = 2 if min(x.shape[1], x.shape[2]) >= 4 else 1
-            x = nn.Conv(w, (4, 4), strides=(stride, stride),
-                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+            # to empty tensors; param shapes are unaffected
+            small = min(x.shape[1], x.shape[2]) < 4
+            x = nn.Conv(w, (4, 4),
+                        strides=(1, 1) if small else (2, 2),
+                        padding='SAME' if small else ((1, 1), (1, 1)),
+                        dtype=self.dtype,
                         name=f'conv{i}')(x)
             if i < len(widths) - 1:
                 x = nn.leaky_relu(x, negative_slope=0.2)

@@ -116,44 +116,24 @@ class PFGST(UDADecorator):
         return self.fdist_lambda * fd
 
     # ------------------------------------------------------------------
-    def forward_train(self, params, batch_stats, ema_params,
-                      ema_batch_stats, step, batch, rng,
-                      mean, std, collect_vis: bool = False,
-                      imnet_params=None):
-        """One PFGST iteration's loss (pure; differentiated wrt params).
-
-        Mirrors ``pfgst.py:179-356``.  Returns (total_loss, aux_out).
-        """
+    def teacher_and_mix(self, ema_params, ema_batch_stats, batch, rng,
+                        mean, std):
+        """Gradient-free half of the iteration: teacher forward,
+        pseudo-labeling and ClassMix/strong-aug
+        (``pfgst.py:247-300``).  Separable so the two halves can
+        compile as independent XLA programs (``split_compile``)."""
         model = self.model
         img = batch['img']
         gt = batch['gt_semantic_seg'].astype(jnp.int32)
         target_img = batch['target_img']
-        target_img_strong = batch.get('target_img_strong_aug', target_img)
+        target_img_strong = batch.get('target_img_strong_aug',
+                                      target_img)
         b, h, w, _ = img.shape
-
-        (k_drop_src, k_drop_mix, k_mix, k_gate_j, k_gate_b,
+        (_k_drop_src, _k_drop_mix, k_mix, k_gate_j, k_gate_b,
          k_strong) = jax.random.split(rng, 6)
 
-        log_vars: Dict[str, jnp.ndarray] = {}
-        vis_states: Dict[str, Any] = {}
-
-        # ---- source supervised pass (``pfgst.py:225-237``) -----------
-        (clean_losses, clean_states), updates = model.apply(
-            {'params': params, 'batch_stats': batch_stats}, img, gt,
-            train=True, mutable=['batch_stats'],
-            rngs={'dropout': k_drop_src},
-            method=model.forward_train)
-        bs1 = updates['batch_stats']
-        src_feats = clean_states['decoded_features'] \
-            if self.use_decoded_feats else clean_states['features']
-        src_logits = clean_states['seg_logits']
-        clean_loss, clean_log = parse_losses(clean_losses)
-        log_vars.update(clean_log)
-        total_loss = clean_loss
-
-        # ---- teacher pseudo-labels (``pfgst.py:247-268``) -------------
-        # train-mode BN (batch statistics of the target batch), dropout
-        # frozen (no dropout rng), stats not persisted.
+        # teacher: train-mode BN (batch statistics of the target
+        # batch), dropout frozen (no dropout rng), stats not persisted
         (ema_logits, ema_states), _ = model.apply(
             {'params': jax.lax.stop_gradient(ema_params),
              'batch_stats': ema_batch_stats},
@@ -166,7 +146,8 @@ class PFGST(UDADecorator):
 
         ema_softmax = jax.nn.softmax(ema_logits, axis=-1)
         pseudo_prob = jnp.max(ema_softmax, axis=-1)      # (B,H,W)
-        pseudo_label = jnp.argmax(ema_softmax, axis=-1).astype(jnp.int32)
+        pseudo_label = jnp.argmax(ema_softmax,
+                                  axis=-1).astype(jnp.int32)
         ps_large_p = (pseudo_prob >= self.pseudo_threshold)
         if self.thre_type == 'all':
             frac = jnp.mean(ps_large_p.astype(jnp.float32))
@@ -185,14 +166,7 @@ class PFGST(UDADecorator):
                 rows >= h - self.psweight_ignore_bottom, 0.0,
                 pseudo_weight)
 
-        # ---- optional DACS fdist regulariser (``dacs.py:204-211``) ----
-        if self.enable_fdist and imnet_params:
-            fd = self.feat_dist_loss(params, imnet_params, img, gt,
-                                     clean_states['features'])
-            log_vars['loss_imnet_feat_dist'] = fd
-            total_loss = total_loss + fd
-
-        # ---- ClassMix + strong aug (``pfgst.py:280-300``) -------------
+        # ---- ClassMix + strong aug (``pfgst.py:280-300``) -----------
         if self.target_self_training or self.apply_no_mix:
             mix_masks = jnp.zeros((b, h, w), jnp.float32)
             trg_img = target_img
@@ -238,13 +212,70 @@ class PFGST(UDADecorator):
 
             mixed_img, mixed_lbl = jax.vmap(per_sample_trg)(
                 sample_keys, target_img, pseudo_label)
-            mix_prefix = 'trg'
         else:
             mixed_img, mixed_lbl, pseudo_weight = jax.vmap(per_sample)(
                 sample_keys, mix_masks, img, trg_img,
                 gt, pseudo_label, pseudo_weight)
-            mix_prefix = 'mix'
-        mixed_lbl = mixed_lbl.astype(jnp.int32)
+        return dict(
+            ema_logits=ema_logits,
+            ema_feats=ema_feats,
+            pseudo_label=pseudo_label,
+            pseudo_weight=pseudo_weight,
+            mix_masks=mix_masks,
+            mixed_img=mixed_img,
+            mixed_lbl=mixed_lbl.astype(jnp.int32))
+
+    def forward_train(self, params, batch_stats, ema_params,
+                      ema_batch_stats, step, batch, rng,
+                      mean, std, collect_vis: bool = False,
+                      imnet_params=None, premix=None):
+        """One PFGST iteration's loss (pure; differentiated wrt params).
+
+        Mirrors ``pfgst.py:179-356``.  Returns (total_loss, aux_out).
+        With ``premix`` given (split_compile), the teacher/mix half was
+        computed by ``teacher_and_mix`` in a separate program.
+        """
+        model = self.model
+        img = batch['img']
+        gt = batch['gt_semantic_seg'].astype(jnp.int32)
+
+        (k_drop_src, k_drop_mix, _k_mix, _k_gate_j, _k_gate_b,
+         _k_strong) = jax.random.split(rng, 6)
+
+        log_vars: Dict[str, jnp.ndarray] = {}
+        vis_states: Dict[str, Any] = {}
+
+        # ---- source supervised pass (``pfgst.py:225-237``) -----------
+        (clean_losses, clean_states), updates = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, img, gt,
+            train=True, mutable=['batch_stats'],
+            rngs={'dropout': k_drop_src},
+            method=model.forward_train)
+        bs1 = updates['batch_stats']
+        src_feats = clean_states['decoded_features'] \
+            if self.use_decoded_feats else clean_states['features']
+        src_logits = clean_states['seg_logits']
+        clean_loss, clean_log = parse_losses(clean_losses)
+        log_vars.update(clean_log)
+        total_loss = clean_loss
+
+        if premix is None:
+            premix = self.teacher_and_mix(ema_params, ema_batch_stats,
+                                          batch, rng, mean, std)
+        ema_logits = premix['ema_logits']
+        ema_feats = premix['ema_feats']
+        pseudo_weight = premix['pseudo_weight']
+        mix_masks = premix['mix_masks']
+        mixed_img = premix['mixed_img']
+        mixed_lbl = premix['mixed_lbl']
+        mix_prefix = 'trg' if self.target_self_training else 'mix'
+
+        # ---- optional DACS fdist regulariser (``dacs.py:204-211``) ----
+        if self.enable_fdist and imnet_params:
+            fd = self.feat_dist_loss(params, imnet_params, img, gt,
+                                     clean_states['features'])
+            log_vars['loss_imnet_feat_dist'] = fd
+            total_loss = total_loss + fd
 
         # ---- mixed-pass training (``pfgst.py:303-310``) ---------------
         (mix_losses, mix_states), updates = model.apply(
@@ -322,7 +353,8 @@ class PFGST(UDADecorator):
     def make_train_step(self, tx, mean, std, collect_vis: bool = False,
                         donate: bool = True,
                         axis_name: Optional[str] = None,
-                        jit: bool = True):
+                        jit: bool = True,
+                        split_compile: bool = False):
         """Build the fused train step: (state, batch, rng) -> (state,
         log_vars, vis).
 
@@ -336,7 +368,7 @@ class PFGST(UDADecorator):
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
 
-        def step_fn(state: UDATrainState, batch, rng):
+        def step_fn(state: UDATrainState, batch, rng, premix=None):
             state = self.ema_update(state, self.alpha)
 
             def loss_fn(params):
@@ -344,7 +376,7 @@ class PFGST(UDADecorator):
                     params, state.batch_stats, state.ema_params,
                     state.ema_batch_stats, state.step, batch, rng,
                     mean, std, collect_vis=collect_vis,
-                    imnet_params=state.imnet_params)
+                    imnet_params=state.imnet_params, premix=premix)
 
             (total, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
@@ -369,4 +401,33 @@ class PFGST(UDADecorator):
 
         if not jit:
             return step_fn
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        if not split_compile:
+            return jax.jit(step_fn,
+                           donate_argnums=(0,) if donate else ())
+
+        # Two smaller XLA programs (remote compile services cap program
+        # size): (1) EMA update + gradient-free teacher/mix half,
+        # (2) student fwd+bwd + optimizer.  One extra HBM round-trip of
+        # the mixed batch; semantics identical to the fused step.
+        @jax.jit
+        def premix_fn(ema_params, ema_batch_stats, batch, rng):
+            return self.teacher_and_mix(ema_params, ema_batch_stats,
+                                        batch, rng, mean, std)
+
+        ema_jit = jax.jit(lambda s: self.ema_update(s, self.alpha))
+        opt_jit = jax.jit(
+            lambda state, batch, rng, premix: step_fn(
+                state, batch, rng, premix=premix),
+            donate_argnums=(0,) if donate else ())
+
+        def split_step(state, batch, rng):
+            # compute the updated teacher for the premix program; the
+            # optimizer program re-derives the identical EMA update
+            # internally (step_fn starts with ema_update), so the
+            # original state is passed through untouched.
+            updated = ema_jit(state)
+            premix = premix_fn(updated.ema_params,
+                               updated.ema_batch_stats, batch, rng)
+            return opt_jit(state, batch, rng, premix)
+
+        return split_step

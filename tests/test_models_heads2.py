@@ -88,3 +88,62 @@ def test_icnet_backbone():
     variables = bb.init({'params': RNG}, x)
     outs = bb.apply(variables, x)
     assert len(outs) == 3
+
+
+def test_pointrend_dpt_knet_heads():
+    from pfst_tpu.models import build_head
+    # PointRend on a single fine level
+    pr = build_head(dict(type='PointRendHead', in_channels=(8,),
+                         in_index=(0,), input_transform='multiple_select',
+                         channels=8, num_points=16, num_classes=5,
+                         norm_cfg=NORM))
+    feats = (_pyramid((8,), (16,))[0],)
+    v = pr.init({'params': RNG}, feats)
+    logits, _ = pr.apply(v, feats)
+    assert logits.shape == (1, 16, 16, 5)
+    # DPT over same-res token maps
+    dpt = build_head(dict(type='DPTHead', in_channels=(8,) * 4,
+                          in_index=(0, 1, 2, 3),
+                          input_transform='multiple_select',
+                          channels=8, post_process_channels=(4, 4, 8, 8),
+                          num_classes=5, norm_cfg=NORM))
+    sames = _pyramid((8, 8, 8, 8), (8, 8, 8, 8))
+    v = dpt.init({'params': RNG}, sames)
+    logits, _ = dpt.apply(v, sames)
+    assert logits.shape[-1] == 5
+    # KNet iterative head
+    knet = build_head(dict(type='IterativeDecodeHead', in_channels=64,
+                           in_index=3, channels=8, num_stages=2,
+                           num_classes=5, norm_cfg=NORM))
+    pyr = _pyramid()
+    v = knet.init({'params': RNG}, pyr)
+    logits, _ = knet.apply(v, pyr)
+    assert logits.shape == (1, 2, 2, 5)
+
+
+def test_twins_resnest_timm_backbones():
+    from pfst_tpu.models import build_backbone
+    import jax.numpy as jnp
+    pcpvt = build_backbone(dict(type='PCPVT', embed_dims=(8, 16, 32, 64),
+                                num_heads=(1, 2, 4, 8),
+                                depths=(1, 1, 1, 1),
+                                mlp_ratios=(2, 2, 2, 2)))
+    x = jnp.zeros((1, 64, 64, 3))
+    outs = pcpvt.apply(pcpvt.init({'params': RNG}, x), x)
+    assert [o.shape[-1] for o in outs] == [8, 16, 32, 64]
+    svt = build_backbone(dict(type='SVT', embed_dims=(8, 16, 32, 64),
+                              num_heads=(1, 2, 4, 8),
+                              depths=(1, 1, 2, 1),
+                              mlp_ratios=(2, 2, 2, 2),
+                              windows=(4, 4, 4, 4)))
+    outs = svt.apply(svt.init({'params': RNG}, x), x)
+    assert len(outs) == 4
+    rs = build_backbone(dict(type='ResNeSt', depth=50, base_channels=8,
+                             stem_channels=8, radix=2, norm_cfg=NORM))
+    outs = rs.apply(rs.init({'params': RNG}, x), x)
+    assert outs[-1].shape[-1] == 256
+    tm = build_backbone(dict(type='TIMMBackbone', model_name='resnet50',
+                             norm_cfg=NORM))
+    v = tm.init({'params': RNG}, x)
+    outs = tm.apply(v, x)
+    assert outs[-1].shape[-1] == 2048

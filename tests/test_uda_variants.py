@@ -116,3 +116,26 @@ def test_adversarial_adaptor_step():
     moved = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
                          state.disc_params, state2.disc_params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_split_compile_matches_fused():
+    """split_compile runs two XLA programs but must produce the same
+    losses/updates as the fused step under the same rng."""
+    cfg = _uda_cfg('PFGST', use_decoded_feats=True, thre_type='all',
+                   aux_losses=AUX)
+    algo = build_train_model(cfg)
+    tx = optax.adamw(1e-3)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    b = _batch()
+    rng = jax.random.PRNGKey(7)
+    fused = algo.make_train_step(tx, MEAN, STD, donate=False)
+    split = algo.make_train_step(tx, MEAN, STD, donate=False,
+                                 split_compile=True)
+    s1, lv1, _ = fused(state, b, rng)
+    s2, lv2, _ = split(state, b, rng)
+    for k in lv1:
+        np.testing.assert_allclose(float(lv1[k]), float(lv2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                     s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 1e-6

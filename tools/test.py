@@ -50,6 +50,8 @@ def main(args=None):
         tta['img_ratios'] = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
         tta['flip'] = True
 
+    from pfst_tpu.utils.set_env import setup_environment
+    setup_environment(cfg)
     from pfst_tpu.apis import single_gpu_test
     from pfst_tpu.core.checkpoint import extract_student, load_checkpoint
     from pfst_tpu.datasets import build_dataloader, build_dataset

@@ -58,6 +58,8 @@ def main(args=None):
     logger = get_root_logger(osp.join(work_dir, f'{timestamp}.log'))
     cfg.dump(osp.join(work_dir, osp.basename(args.config)))
 
+    from pfst_tpu.utils.set_env import setup_environment
+    setup_environment(cfg)
     import jax
     seed = args.seed if args.seed is not None else cfg.get('seed', 0)
     logger.info(f'devices: {jax.devices()}  seed: {seed}')
