@@ -1,0 +1,15 @@
+# FCN head on UNet.
+norm_cfg = dict(type='BN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    pretrained=None,
+    backbone=dict(type='UNet', base_channels=64, num_stages=5,
+                  norm_cfg=norm_cfg),
+    decode_head=dict(
+        type='FCNHead', in_channels=64, in_index=4, channels=64,
+        num_convs=1, concat_input=False, dropout_ratio=0.1,
+        num_classes=2, norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))

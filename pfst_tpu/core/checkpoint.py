@@ -41,6 +41,7 @@ def save_checkpoint(work_dir: str, step: int, state: Any,
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Load a checkpoint; with ``target`` given, restores into its
     structure (dtypes/shapes validated)."""
+    path = osp.abspath(osp.expanduser(path))  # orbax requires absolute
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         return ckptr.restore(path, item=target)

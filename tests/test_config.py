@@ -15,15 +15,16 @@ LEAF_CONFIGS = sorted(glob.glob(osp.join(REPO, 'configs', 'pfst', '*.py')))
                          ids=[osp.basename(p) for p in LEAF_CONFIGS])
 def test_config_builds_train_model(path):
     cfg = Config.fromfile(path)
-    assert 'model' in cfg and 'uda' in cfg and 'runner' in cfg
+    assert 'model' in cfg and 'runner' in cfg
     from pfst_tpu.apis.train import build_algorithm
     algo = build_algorithm(cfg)
-    # UDA configs must produce the PFGST orchestrator with a student
-    # whose heads agree on num_classes
     n = cfg.model['decode_head']['num_classes']
     assert algo.num_classes == n
-    assert cfg.model['auxiliary_head']['num_classes'] == n
-    assert algo.aux_losses, 'PFGST config must carry aux losses'
+    if 'uda' in cfg:
+        # UDA configs must produce the PFGST orchestrator with a
+        # student whose heads agree on num_classes
+        assert cfg.model['auxiliary_head']['num_classes'] == n
+        assert algo.aux_losses, 'PFGST config must carry aux losses'
 
 
 @pytest.mark.parametrize('path', LEAF_CONFIGS,
@@ -47,3 +48,18 @@ def test_base_inheritance_delete_key(tmp_path):
     cfg = Config.fromfile(str(child))
     assert cfg.a.to_dict() == {'z': 9}
     assert cfg.b == 3
+
+
+MODEL_CONFIGS = sorted(
+    glob.glob(osp.join(REPO, 'configs', '_base_', 'models', '*.py')))
+
+
+@pytest.mark.parametrize('path', MODEL_CONFIGS,
+                         ids=[osp.basename(p) for p in MODEL_CONFIGS])
+def test_base_model_configs_build(path):
+    """Every _base_ model def constructs its segmentor module (the
+    reference's config-corpus regression net, ``tests/test_config.py``)."""
+    from pfst_tpu.models import build_segmentor
+    cfg = Config.fromfile(path)
+    model = build_segmentor(dict(cfg.model))
+    assert model.num_classes == cfg.model['decode_head']['num_classes']
