@@ -69,6 +69,46 @@ def _paramwise_mask_fn(paramwise_cfg: dict):
     return label, custom_keys
 
 
+def _layer_id_from_path(path: str, num_layers: int) -> int:
+    """Map a param path to its depth for layerwise LR decay
+    (mirror of ``rsiseg/core/optimizers/layer_decay_optimizer_
+    constructor.py:103,189``): stems/embeddings -> 0, block i -> i+1,
+    heads -> num_layers+1."""
+    import re
+    if any(k in path for k in ('stem', 'patch_embed', 'pos_embed',
+                               'cls_token', 'conv1')):
+        return 0
+    m = re.search(r'(?:block|layer|stage)[s_]?(\d+)[_.]?(?:block)?(\d+)?',
+                  path)
+    if m and 'backbone' in path:
+        major = int(m.group(1))
+        minor = int(m.group(2) or 0)
+        return min(major + minor, num_layers)
+    if 'backbone' in path:
+        return num_layers // 2
+    return num_layers + 1
+
+
+def layer_decay_transforms(paramwise_cfg: dict, make):
+    """Build an optax.multi_transform labeling for layerwise decay."""
+    import jax
+    num_layers = paramwise_cfg.get('num_layers', 12)
+    decay_rate = paramwise_cfg.get('decay_rate', 0.9)
+    transforms = {}
+    for lid in range(num_layers + 2):
+        mult = decay_rate**(num_layers + 1 - lid)
+        transforms[f'layer_{lid}'] = make(lr_mult=mult)
+
+    def path_labels(params):
+        def lbl(path, _):
+            s = '/'.join(str(getattr(p, 'key', p)) for p in path)
+            return f'layer_{_layer_id_from_path(s, num_layers)}'
+
+        return jax.tree_util.tree_map_with_path(lbl, params)
+
+    return optax.multi_transform(transforms, path_labels)
+
+
 def build_optimizer(optimizer_cfg: dict,
                     lr_config: Optional[dict] = None,
                     max_iters: int = 40000,
@@ -103,7 +143,10 @@ def build_optimizer(optimizer_cfg: dict,
             raise ValueError(f'unsupported optimizer {opt_type}')
         return tx
 
-    if paramwise_cfg:
+    if paramwise_cfg and paramwise_cfg.get('decay_type') in (
+            'layer_wise', 'stage_wise'):
+        tx = layer_decay_transforms(paramwise_cfg, make)
+    elif paramwise_cfg:
         label_fn, custom_keys = _paramwise_mask_fn(paramwise_cfg)
         transforms = {'__default__': make()}
         for key, spec in custom_keys.items():

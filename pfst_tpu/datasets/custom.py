@@ -269,3 +269,37 @@ class CustomDataset:
                 for i, name in enumerate(class_names)
             })
         return eval_results
+
+
+def _results2img(dataset, results, imgfile_prefix, to_label_id=None,
+                 indices=None):
+    """Write predictions as palette/index pngs (mirror of
+    ``rsiseg/datasets/{loveda,inria}.py results2img``)."""
+    import cv2
+    import os
+    os.makedirs(imgfile_prefix, exist_ok=True)
+    indices = indices if indices is not None else range(len(results))
+    files = []
+    for res, idx in zip(results, indices):
+        name = osp.splitext(osp.basename(
+            dataset.img_infos[idx]['filename']))[0]
+        out = res.astype(np.uint8)
+        if to_label_id:
+            mapped = out.copy()
+            for train_id, label_id in to_label_id.items():
+                mapped[out == train_id] = label_id
+            out = mapped
+        path = osp.join(imgfile_prefix, f'{name}.png')
+        cv2.imwrite(path, out)
+        files.append(path)
+    return files
+
+
+def _format_results(self, results, imgfile_prefix, to_label_id=None,
+                    indices=None):
+    return _results2img(self, results, imgfile_prefix, to_label_id,
+                        indices)
+
+
+CustomDataset.results2img = _results2img
+CustomDataset.format_results = _format_results

@@ -1,6 +1,7 @@
 """UDA component math: EMA schedule, pseudo-weights, ClassMix,
 strong transforms — the tests the reference never had (SURVEY §4)."""
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -148,3 +149,52 @@ def test_lr_schedule_poly_warmup():
     np.testing.assert_allclose(float(sched(1000)), 0.0, atol=1e-12)
     mid = float(sched(500))
     np.testing.assert_allclose(mid, 6e-5 * 0.5, rtol=1e-5)
+
+
+def test_layer_decay_optimizer():
+    """layerwise LR decay: deeper layers get larger multipliers."""
+    import jax.numpy as jnp
+    from pfst_tpu.core.optimizers import build_optimizer
+    tx = build_optimizer(
+        dict(type='AdamW', lr=1e-3, weight_decay=0.01,
+             paramwise_cfg=dict(decay_type='layer_wise', num_layers=4,
+                                decay_rate=0.5)),
+        lr_config=None, max_iters=100)
+    params = {
+        'backbone_mod': {
+            'stem_conv1': {'conv': {'kernel': jnp.ones((4,))}},
+            'layer4_block0': {'conv': {'kernel': jnp.ones((4,))}},
+        },
+        'decode_head_mod': {'cls': {'conv_seg':
+                                    {'kernel': jnp.ones((4,))}}},
+    }
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    stem_u = abs(float(
+        updates['backbone_mod']['stem_conv1']['conv']['kernel'][0]))
+    head_u = abs(float(
+        updates['decode_head_mod']['cls']['conv_seg']['kernel'][0]))
+    assert stem_u < head_u  # stem decayed harder than the head
+
+
+def test_format_results(tmp_path, rng):
+    import cv2
+    from pfst_tpu.datasets import build_dataset
+    root = tmp_path / 'ds'
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(2):
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'a{i}.png'),
+                    rng.randint(0, 255, (16, 16, 3)).astype('uint8'))
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'a{i}.png'),
+                    rng.randint(0, 7, (16, 16)).astype('uint8'))
+    ds = build_dataset(dict(
+        type='ISPRSDataset', data_root=str(root), img_dir='img_dir/val',
+        ann_dir='ann_dir/val', test_mode=True,
+        pipeline=[dict(type='LoadImageFromFile'),
+                  dict(type='ImageToTensor', keys=['img']),
+                  dict(type='Collect', keys=['img'])]))
+    preds = [rng.randint(0, 6, (16, 16)) for _ in range(2)]
+    files = ds.format_results(preds, str(tmp_path / 'sub'))
+    assert len(files) == 2 and all(os.path.exists(f) for f in files)
