@@ -6,3 +6,7 @@ __all__ = [
     'DATA_AXIS', 'get_mesh', 'init_distributed', 'batch_sharding',
     'replicate_sharding', 'shard_batch', 'make_sharded_train_step'
 ]
+
+from .slide import sharded_slide_inference, window_grid  # noqa: E402
+
+__all__ += ['sharded_slide_inference', 'window_grid']

@@ -193,3 +193,26 @@ def test_discriminator():
                                     num_in_channels=6, ndf=8))
     out = run_module(disc, jnp.zeros((2, 64, 64, 6)))
     assert out.shape == (2, 1, 1, 1)
+
+
+def test_sharded_slide_matches_single_device():
+    """device-sharded scene inference equals the in-model slide path."""
+    import jax
+    from jax.sharding import Mesh
+    from tests.conftest import tiny_model_cfg
+    from pfst_tpu.parallel import sharded_slide_inference
+    cfg = tiny_model_cfg()
+    cfg['test_cfg'] = dict(mode='slide', crop_size=(32, 32),
+                           stride=(16, 16))
+    model = build_segmentor(cfg)
+    scene = jnp.asarray(np.random.RandomState(0).randn(64, 64, 3),
+                        jnp.float32)
+    variables = model.init({'params': RNG}, scene[None], train=False)
+    ref_logits, _ = model.apply(variables, scene[None],
+                                method=model.slide_inference)
+    mesh = Mesh(np.asarray(jax.devices()), ('data',))
+    sharded = sharded_slide_inference(model, variables, scene,
+                                      crop=(32, 32), stride=(16, 16),
+                                      mesh=mesh)
+    np.testing.assert_allclose(np.asarray(ref_logits[0]), sharded,
+                               atol=2e-4, rtol=1e-4)
