@@ -25,6 +25,8 @@ def parse_args(args=None):
                         help='metrics: mIoU/mDice/mFscore')
     parser.add_argument('--out', help='json file to dump results')
     parser.add_argument('--format-only', action='store_true')
+    parser.add_argument('--imgfile-prefix', default='work_dirs/format',
+                        help='output dir for --format-only pngs')
     parser.add_argument('--aug-test', action='store_true',
                         help='multi-scale + flip TTA')
     parser.add_argument('--show-dir', help='dir to save viz overlays')
@@ -72,6 +74,11 @@ def main(args=None):
         model, variables, loader,
         pre_eval=bool(args.eval) and not args.format_only,
         format_only=args.format_only, out_dir=args.show_dir)
+
+    if args.format_only:
+        files = dataset.format_results(results, args.imgfile_prefix)
+        logger.info(f'{len(files)} result maps written to '
+                    f'{args.imgfile_prefix}')
 
     if args.eval:
         eval_kwargs = dict(args.eval_options or {})
