@@ -116,24 +116,11 @@ class PFGST(UDADecorator):
         return self.fdist_lambda * fd
 
     # ------------------------------------------------------------------
-    def teacher_and_mix(self, ema_params, ema_batch_stats, batch, rng,
-                        mean, std):
-        """Gradient-free half of the iteration: teacher forward,
-        pseudo-labeling and ClassMix/strong-aug
-        (``pfgst.py:247-300``).  Separable so the two halves can
-        compile as independent XLA programs (``split_compile``)."""
+    def teacher_forward(self, ema_params, ema_batch_stats, target_img):
+        """Teacher forward (``pfgst.py:253-257``): train-mode BN
+        (batch statistics of the target batch), dropout frozen (no
+        dropout rng), stats not persisted."""
         model = self.model
-        img = batch['img']
-        gt = batch['gt_semantic_seg'].astype(jnp.int32)
-        target_img = batch['target_img']
-        target_img_strong = batch.get('target_img_strong_aug',
-                                      target_img)
-        b, h, w, _ = img.shape
-        (_k_drop_src, _k_drop_mix, k_mix, k_gate_j, k_gate_b,
-         k_strong) = jax.random.split(rng, 6)
-
-        # teacher: train-mode BN (batch statistics of the target
-        # batch), dropout frozen (no dropout rng), stats not persisted
         (ema_logits, ema_states), _ = model.apply(
             {'params': jax.lax.stop_gradient(ema_params),
              'batch_stats': ema_batch_stats},
@@ -143,6 +130,30 @@ class PFGST(UDADecorator):
         ema_feats = jax.lax.stop_gradient(
             ema_states['decoded_features'] if self.use_decoded_feats
             else ema_states['feats'])
+        return ema_logits, ema_feats
+
+    def teacher_and_mix(self, ema_params, ema_batch_stats, batch, rng,
+                        mean, std, teacher_out=None):
+        """Gradient-free half of the iteration: teacher forward,
+        pseudo-labeling and ClassMix/strong-aug
+        (``pfgst.py:247-300``).  Separable so the halves can compile as
+        independent XLA programs (``split_compile``); with
+        ``teacher_out`` given the teacher forward was run in its own
+        program."""
+        img = batch['img']
+        gt = batch['gt_semantic_seg'].astype(jnp.int32)
+        target_img = batch['target_img']
+        target_img_strong = batch.get('target_img_strong_aug',
+                                      target_img)
+        b, h, w, _ = img.shape
+        (_k_drop_src, _k_drop_mix, k_mix, k_gate_j, k_gate_b,
+         k_strong) = jax.random.split(rng, 6)
+
+        if teacher_out is None:
+            teacher_out = self.teacher_forward(ema_params,
+                                               ema_batch_stats,
+                                               target_img)
+        ema_logits, ema_feats = teacher_out
 
         ema_softmax = jax.nn.softmax(ema_logits, axis=-1)
         pseudo_prob = jnp.max(ema_softmax, axis=-1)      # (B,H,W)
@@ -405,14 +416,19 @@ class PFGST(UDADecorator):
             return jax.jit(step_fn,
                            donate_argnums=(0,) if donate else ())
 
-        # Two smaller XLA programs (remote compile services cap program
-        # size): (1) EMA update + gradient-free teacher/mix half,
-        # (2) student fwd+bwd + optimizer.  One extra HBM round-trip of
-        # the mixed batch; semantics identical to the fused step.
+        # Smaller XLA programs (remote compile services cap program
+        # size): (1) EMA update, (2) teacher forward, (3) pseudo-label
+        # + ClassMix/strong-aug, (4) student fwd+bwd + optimizer.  Two
+        # extra HBM round-trips; semantics identical to the fused step.
         @jax.jit
-        def premix_fn(ema_params, ema_batch_stats, batch, rng):
-            return self.teacher_and_mix(ema_params, ema_batch_stats,
-                                        batch, rng, mean, std)
+        def teacher_jit(ema_params, ema_batch_stats, target_img):
+            return self.teacher_forward(ema_params, ema_batch_stats,
+                                        target_img)
+
+        @jax.jit
+        def mix_jit(batch, rng, teacher_out):
+            return self.teacher_and_mix(None, None, batch, rng, mean,
+                                        std, teacher_out=teacher_out)
 
         ema_jit = jax.jit(lambda s: self.ema_update(s, self.alpha))
         opt_jit = jax.jit(
@@ -421,13 +437,15 @@ class PFGST(UDADecorator):
             donate_argnums=(0,) if donate else ())
 
         def split_step(state, batch, rng):
-            # compute the updated teacher for the premix program; the
+            # compute the updated teacher for the premix programs; the
             # optimizer program re-derives the identical EMA update
             # internally (step_fn starts with ema_update), so the
             # original state is passed through untouched.
             updated = ema_jit(state)
-            premix = premix_fn(updated.ema_params,
-                               updated.ema_batch_stats, batch, rng)
+            teacher_out = teacher_jit(updated.ema_params,
+                                      updated.ema_batch_stats,
+                                      batch['target_img'])
+            premix = mix_jit(batch, rng, teacher_out)
             return opt_jit(state, batch, rng, premix)
 
         return split_step

@@ -132,22 +132,16 @@ def _rgb_to_hsv(img):
 
 
 def _hsv_to_rgb(img):
+    """Branch-free hsv->rgb (k-formula) — compiles to a short
+    elementwise chain instead of a 6-way stack + gather."""
     h, s, v = img[..., 0], img[..., 1], img[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - f * s)
-    t = v * (1.0 - (1.0 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    rgb = jnp.stack([
-        jnp.stack([v, t, p], -1),
-        jnp.stack([q, v, p], -1),
-        jnp.stack([p, v, t], -1),
-        jnp.stack([p, q, v], -1),
-        jnp.stack([t, p, v], -1),
-        jnp.stack([v, p, q], -1),
-    ], 0)
-    return jnp.take_along_axis(rgb, i[None, ..., None], axis=0)[0]
+
+    def channel(n):
+        k = jnp.mod(n + h * 6.0, 6.0)
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([channel(5.0), channel(3.0), channel(1.0)],
+                     axis=-1)
 
 
 def _adjust_hue(img, shift):
