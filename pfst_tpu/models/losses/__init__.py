@@ -12,6 +12,7 @@ from .focal_loss import FocalLoss
 from .lovasz_loss import LovaszLoss
 from .pfgst_loss import PFGSTLoss
 from .pfst_loss import PFSTLoss, PFSTLossV2, PFSTLossV4
+from .pseudo_label_loss import LocalPseudoFeatLoss, PseudoLabelLoss
 from .utils import (get_class_weight, masked_mean, masked_std,
                     reduce_loss, weight_reduce_loss)
 
@@ -22,6 +23,7 @@ __all__ = [
     'AdaptiveFeatSimLossV2', 'AdaptiveFeatSimLossV3',
     'AdaptiveFeatSimLossV4', 'MultiScaleAdaptiveFeatSimLoss',
     'FocalLoss', 'LovaszLoss', 'PFGSTLoss', 'PFSTLoss', 'PFSTLossV2',
-    'PFSTLossV4', 'get_class_weight', 'reduce_loss',
+    'PFSTLossV4', 'PseudoLabelLoss', 'LocalPseudoFeatLoss',
+    'get_class_weight', 'reduce_loss',
     'weight_reduce_loss', 'masked_mean', 'masked_std'
 ]
