@@ -178,30 +178,43 @@ def blur_kernel_size(h: int, w: int) -> Tuple[int, int]:
     return max(one(h), 1), max(one(w), 1)
 
 
+def _blur_matrix(n: int, k: int, sigma) -> jnp.ndarray:
+    """(n, n) banded Gaussian operator with reflect-101 borders.
+
+    Expressing the separable blur as two matmuls keeps it on the MXU
+    and sidesteps TPU convolution codegen for exotic kernel sizes
+    (the 51-tap depthwise conv stalled the remote compiler)."""
+    pad = k // 2
+    taps = jnp.arange(k, dtype=jnp.float32) - pad
+    g = jnp.exp(-(taps**2) / (2.0 * sigma**2))
+    g = g / jnp.sum(g)
+    rows = jnp.arange(n)[:, None]                     # (n, 1)
+    pos = rows + jnp.arange(-pad, pad + 1)[None, :]   # (n, k)
+    # reflect-101: -p -> p, n-1+p -> n-1-p (may need several folds for
+    # k approaching n; two folds cover k <= 2n which holds here)
+    pos = jnp.abs(pos)
+    pos = (n - 1) - jnp.abs((n - 1) - pos)
+    pos = jnp.abs(pos)
+    mat = jnp.zeros((n, n), jnp.float32)
+    mat = mat.at[jnp.broadcast_to(rows, pos.shape), pos].add(
+        jnp.broadcast_to(g[None, :], pos.shape))
+    return mat
+
+
 def gaussian_blur_single(img: jnp.ndarray, sigma: jnp.ndarray,
                          ksize: Tuple[int, int]) -> jnp.ndarray:
-    """Separable depthwise Gaussian blur, HWC, reflect padding
-    (kornia GaussianBlur2d default border)."""
+    """Separable Gaussian blur, HWC, reflect-101 padding (kornia
+    GaussianBlur2d default border) — as two MXU matmuls."""
     ky, kx = ksize
-    c = img.shape[-1]
-
-    def kernel(k):
-        x = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2.0
-        g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-        return g / jnp.sum(g)
-
-    py, px = ky // 2, kx // 2
-    x = jnp.pad(img, ((py, py), (px, px), (0, 0)), mode='reflect')[None]
-    wy = jnp.tile(kernel(ky)[:, None, None, None], (1, 1, 1, c))
-    wx = jnp.tile(kernel(kx)[None, :, None, None], (1, 1, 1, c))
-    dn = ('NHWC', 'HWIO', 'NHWC')
-    x = jax.lax.conv_general_dilated(
-        x, wy, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, wx, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    return x[0]
+    h, w, c = img.shape
+    ay = _blur_matrix(h, ky, sigma)
+    ax = _blur_matrix(w, kx, sigma)
+    # (H,W,C): blur rows then columns
+    out = jnp.einsum('ih,hwc->iwc', ay, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum('jw,iwc->ijc', ax, out,
+                     preferred_element_type=jnp.float32)
+    return out.astype(img.dtype)
 
 
 def gaussian_blur_batch(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:

@@ -198,3 +198,21 @@ def test_format_results(tmp_path, rng):
     preds = [rng.randint(0, 6, (16, 16)) for _ in range(2)]
     files = ds.format_results(preds, str(tmp_path / 'sub'))
     assert len(files) == 2 and all(os.path.exists(f) for f in files)
+
+
+def test_gaussian_blur_matches_scipy_reflect101():
+    """matmul-form separable blur == scipy gaussian_filter1d 'mirror'
+    (reflect-101, kornia's default border)."""
+    from scipy.ndimage import gaussian_filter1d
+    from pfst_tpu.models.utils.dacs_transforms import \
+        gaussian_blur_single
+    rs = np.random.RandomState(0)
+    img = rs.rand(24, 30, 3).astype(np.float32)
+    sigma = 0.8
+    ours = np.asarray(gaussian_blur_single(
+        jnp.asarray(img), jnp.float32(sigma), (13, 13)))
+    ref = gaussian_filter1d(img, sigma, axis=0, mode='mirror',
+                            truncate=6 / sigma)
+    ref = gaussian_filter1d(ref, sigma, axis=1, mode='mirror',
+                            truncate=6 / sigma)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
