@@ -137,21 +137,27 @@ class DataLoader:
         indices = self._epoch_indices(epoch)
         nb = len(indices) // self.batch_size if self.drop_last else \
             math.ceil(len(indices) / self.batch_size)
-        # prefetch with a small thread pool: IO + cv2 release the GIL
-        q: 'queue.Queue' = queue.Queue(maxsize=self.num_workers * 2)
+        # prefetch with a thread pool: IO + cv2 release the GIL, so
+        # per-sample pipeline work overlaps across workers AND with the
+        # device step
+        from concurrent.futures import ThreadPoolExecutor
+        q: 'queue.Queue' = queue.Queue(maxsize=max(2, self.num_workers))
         stop = threading.Event()
 
         def produce():
-            try:
-                for bi in range(nb):
-                    if stop.is_set():
-                        return
-                    sel = indices[bi * self.batch_size:(bi + 1) *
-                                  self.batch_size]
-                    samples = [self.dataset[int(i)] for i in sel]
-                    q.put(collate(samples))
-            finally:
-                q.put(None)
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                try:
+                    for bi in range(nb):
+                        if stop.is_set():
+                            return
+                        sel = indices[bi * self.batch_size:(bi + 1) *
+                                      self.batch_size]
+                        samples = list(
+                            pool.map(self.dataset.__getitem__,
+                                     [int(i) for i in sel]))
+                        q.put(collate(samples))
+                finally:
+                    q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
