@@ -37,16 +37,44 @@ def make_inference_fn(model, rescale: bool = True):
     return infer
 
 
+def make_state_fn(model, sim_cfg: Optional[dict] = None):
+    """jitted feature-state extractor (reference ``apis/test.py:160-191``
+    ``state_proc_fun``): neighborhood similarity of the decoded
+    features, returned per image alongside predictions."""
+    sim_cfg = sim_cfg or {}
+
+    @jax.jit
+    def states(variables, img):
+        from ..ops.pallas_sim import neighborhood_similarity
+        _, st = model.apply(variables, img, method=model.encode_decode)
+        feats = st['decoded_features']
+        sim = neighborhood_similarity(
+            feats, sim_cfg.get('kernel_size', 3),
+            sim_cfg.get('dilation', 2),
+            sim_type=sim_cfg.get('sim_type', 'gaussian'),
+            sigma=float(sim_cfg.get('sigma', 30.0)))
+        return {'decoded_features': feats, 'sim_feat': sim,
+                'seg_logits': st['seg_logits']}
+
+    return states
+
+
 def single_gpu_test(model,
                     variables,
                     data_loader,
                     pre_eval: bool = True,
                     format_only: bool = False,
                     out_dir: Optional[str] = None,
-                    progress: bool = True):
-    """Returns pre_eval tuples (or label maps)."""
+                    progress: bool = True,
+                    return_states: bool = False,
+                    state_proc_cfg: Optional[dict] = None):
+    """Returns pre_eval tuples (or label maps); with ``return_states``
+    also a list of per-image feature-state dicts."""
     dataset = data_loader.dataset
     infer = make_inference_fn(model)
+    state_fn = make_state_fn(model, state_proc_cfg) if return_states \
+        else None
+    state_list: List[Any] = []
     results: List[Any] = []
     logger = get_root_logger()
     t0 = time.time()
@@ -75,6 +103,10 @@ def single_gpu_test(model,
                                align_corners=model.align_corners)
             acc = probs if acc is None else acc + probs
         pred = np.asarray(jnp.argmax(acc, axis=-1)[0])
+        if state_fn is not None:
+            st = state_fn(variables, jnp.asarray(imgs[0])[None])
+            state_list.append(
+                {k: np.asarray(v[0]) for k, v in st.items()})
         if pre_eval:
             results.extend(dataset.pre_eval(pred, idx))
         else:
@@ -82,6 +114,8 @@ def single_gpu_test(model,
         if progress and (idx + 1) % 50 == 0:
             rate = (idx + 1) / (time.time() - t0)
             print_log(f'eval {idx + 1}/{n} ({rate:.1f} img/s)', logger)
+    if return_states:
+        return results, state_list
     return results
 
 

@@ -254,9 +254,8 @@ def train_segmentor(cfg,
                          if isinstance(v, np.ndarray)}
 
     device_batch = put(first)
-    t_data, t_step = 0.0, 0.0
+    t_data = 0.0
     t_last = time.time()
-    log_accum: Dict[str, float] = {}
     for it in range(start_iter, max_iters):
         step_rng = jax.random.fold_in(rng, it)
         state, log_vars, vis_states = step_fn(state, device_batch,

@@ -116,8 +116,17 @@ _pallas_sim_diff.defvjp(_pallas_sim_fwd, _pallas_sim_bwd)
 
 def neighborhood_similarity(x, kernel_size, dilation,
                             sim_type='cosine', sigma=30.0,
-                            use_pallas: bool = True):
-    """Dispatch: Pallas on TPU when the padded map fits VMEM, else XLA."""
+                            use_pallas: bool = None):
+    """Dispatch: Pallas on TPU when the padded map fits VMEM, else XLA.
+
+    Default comes from ``PFST_USE_PALLAS`` (0/1, default 0): some
+    remote-compile services stall on Mosaic kernels embedded in large
+    programs, and XLA's fusion of the shifted-slice formulation is
+    already good — the kernel is the opt-in fast path.
+    """
+    import os
+    if use_pallas is None:
+        use_pallas = os.environ.get('PFST_USE_PALLAS', '0') == '1'
     b, h, w, c = x.shape
     pad = (kernel_size // 2) * dilation
     vmem_bytes = (h + 2 * pad) * (w + 2 * pad) * c * 4
