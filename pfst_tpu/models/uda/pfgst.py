@@ -78,6 +78,9 @@ class PFGST(UDADecorator):
     # PFGST mixes the strongly-augmented view (``pfgst.py:289``), DACS
     # the plain target image (``dacs.py:253``)
     mix_view = 'strong_aug'
+    # variants that pre-transform the batch in forward_train (PFSTV4)
+    # must not split: the premix program would see the raw batch
+    supports_split_compile = True
     # PGST (``pgst.py:108-115``): additionally ClassMix-blend the
     # teacher's feature map with the (detached) source feature map at
     # this level before the similarity losses; None disables.
@@ -412,7 +415,8 @@ class PFGST(UDADecorator):
 
         if not jit:
             return step_fn
-        if not split_compile:
+        if not (split_compile and
+                self.supports_split_compile):
             return jax.jit(step_fn,
                            donate_argnums=(0,) if donate else ())
 

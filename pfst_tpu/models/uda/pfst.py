@@ -51,6 +51,8 @@ class PFSTV4(PFST):
     augmented frame before pseudo-labeling.
     """
 
+    supports_split_compile = False
+
     def forward_train(self, params, batch_stats, ema_params,
                       ema_batch_stats, step, batch, rng, mean, std,
                       collect_vis=False, imnet_params=None):
