@@ -440,16 +440,28 @@ class PFGST(UDADecorator):
                 state, batch, rng, premix=premix),
             donate_argnums=(0,) if donate else ())
 
-        def split_step(state, batch, rng):
+        def split_step(state, batch, rng, _first=[True]):
             # compute the updated teacher for the premix programs; the
             # optimizer program re-derives the identical EMA update
             # internally (step_fn starts with ema_update), so the
             # original state is passed through untouched.
+            import time as _time
+            from ...utils.logger import get_root_logger
+            log = get_root_logger().info if _first[0] else \
+                (lambda *a: None)
+            t0 = _time.time()
             updated = ema_jit(state)
+            log(f'[split] ema program ready +{_time.time() - t0:.0f}s')
             teacher_out = teacher_jit(updated.ema_params,
                                       updated.ema_batch_stats,
                                       batch['target_img'])
+            log(f'[split] teacher program ready '
+                f'+{_time.time() - t0:.0f}s')
             premix = mix_jit(batch, rng, teacher_out)
-            return opt_jit(state, batch, rng, premix)
+            log(f'[split] mix program ready +{_time.time() - t0:.0f}s')
+            out = opt_jit(state, batch, rng, premix)
+            log(f'[split] opt program ready +{_time.time() - t0:.0f}s')
+            _first[0] = False
+            return out
 
         return split_step
