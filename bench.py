@@ -41,7 +41,9 @@ def build():
                              'dtype': jnp.bfloat16})
     rng = jax.random.PRNGKey(0)
     img = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
-    variables = model.init({'params': rng}, img, train=False)
+    variables = jax.jit(
+        lambda r, im: model.init({'params': r}, im, train=False))(rng,
+                                                                  img)
 
     @jax.jit
     def fused_infer_pseudo_label(variables, img):

@@ -61,7 +61,9 @@ class SupervisedTrainer:
 
     def init_state(self, rng, img_shape, tx):
         img = jnp.zeros(img_shape, jnp.float32)
-        variables = self.model.init({'params': rng}, img, train=False)
+        variables = jax.jit(
+            lambda r, im: self.model.init({'params': r}, im,
+                                          train=False))(rng, img)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         return UDATrainState(

@@ -84,7 +84,9 @@ class DomainAdaptor(_DomainAdaptorBase):
     def init_state(self, rng, img_shape, tx):
         from ..uda.uda_decorator import UDATrainState
         img = jnp.zeros(img_shape, jnp.float32)
-        variables = self.model.init({'params': rng}, img, train=False)
+        variables = jax.jit(
+            lambda r, im: self.model.init({'params': r}, im,
+                                          train=False))(rng, img)
         return UDATrainState(
             params=variables['params'],
             batch_stats=variables.get('batch_stats', {}),
@@ -166,7 +168,9 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
     def init_state(self, rng, img_shape, tx):
         img = jnp.zeros(img_shape, jnp.float32)
         r1, r2 = jax.random.split(rng)
-        variables = self.model.init({'params': r1}, img, train=False)
+        variables = jax.jit(
+            lambda r, im: self.model.init({'params': r}, im,
+                                          train=False))(r1, img)
         ent = jnp.zeros(img_shape[:3] + (self.num_classes,),
                         jnp.float32)
         disc_vars = self.discriminator.init({'params': r2}, ent)

@@ -55,7 +55,11 @@ class UDADecorator:
     # -- state ------------------------------------------------------------
     def init_state(self, rng: jax.Array, img_shape, tx) -> UDATrainState:
         img = jnp.zeros(img_shape, jnp.float32)
-        variables = self.model.init({'params': rng}, img, train=False)
+        # jit the init: eager flax init replays every op through the
+        # runtime individually (minutes over a tunneled backend)
+        variables = jax.jit(
+            lambda r, im: self.model.init({'params': r}, im,
+                                          train=False))(rng, img)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         enable_fdist = bool(getattr(self, 'enable_fdist', False))
