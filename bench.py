@@ -41,9 +41,10 @@ def build():
                              'dtype': jnp.bfloat16})
     rng = jax.random.PRNGKey(0)
     img = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+    small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = jax.jit(
-        lambda r, im: model.init({'params': r}, im, train=False))(rng,
-                                                                  img)
+        lambda r, im: model.init({'params': r}, im,
+                                 train=False))(rng, small)
 
     @jax.jit
     def fused_infer_pseudo_label(variables, img):

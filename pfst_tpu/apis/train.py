@@ -188,7 +188,16 @@ def train_segmentor(cfg,
 
     rng = jax.random.PRNGKey(seed)
     init_rng, rng = jax.random.split(rng)
-    state = algo.init_state(init_rng, (1,) + tuple(img_shape[1:]), tx)
+    # init at a small spatial size: parameter shapes are H/W-independent
+    # for every registered model, and init traces a full forward — at
+    # 512^2 that is a multi-minute compile for zeros we throw away
+    init_h = min(64, img_shape[1])
+    init_w = min(64, img_shape[2])
+    print_log('initializing model state...', logger)
+    state = algo.init_state(init_rng, (1, init_h, init_w,
+                                       img_shape[3]), tx)
+    jax.block_until_ready(state.params)
+    print_log('model state initialized', logger)
 
     start_iter = 0
     if resume_from is None and auto_resume and work_dir:
@@ -255,6 +264,7 @@ def train_segmentor(cfg,
         put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
                          if isinstance(v, np.ndarray)}
 
+    print_log('entering train loop (first step compiles)...', logger)
     device_batch = put(first)
     t_data = 0.0
     t_last = time.time()
