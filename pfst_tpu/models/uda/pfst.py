@@ -55,7 +55,8 @@ class PFSTV4(PFST):
 
     def forward_train(self, params, batch_stats, ema_params,
                       ema_batch_stats, step, batch, rng, mean, std,
-                      collect_vis=False, imnet_params=None):
+                      collect_vis=False, imnet_params=None,
+                      premix=None):
         if 'target_img_ori' in batch:
             from ..utils.pfst_transforms import transform_by_metas
             batch = dict(batch)
@@ -70,4 +71,4 @@ class PFSTV4(PFST):
         return super().forward_train(
             params, batch_stats, ema_params, ema_batch_stats, step,
             batch, rng, mean, std, collect_vis=collect_vis,
-            imnet_params=imnet_params)
+            imnet_params=imnet_params, premix=premix)
