@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_PATCHES_PER_SEC = 21.0
-BATCH = 8
+BATCH = 16  # best of {8: 278, 16: 347, 32: 339} patches/s on v5e-1
 SIZE = 512
 THRESHOLD = 0.98
 STEPS = 30
