@@ -28,6 +28,22 @@ class DefaultFormatBundle:
             results[key] = np.ascontiguousarray(img, np.float32)
         for key in results.get('seg_fields', []):
             results[key] = np.ascontiguousarray(results[key], np.int32)
+        if 'ori_img' in results:
+            img = results['ori_img']
+            if img.ndim == 2:
+                img = img[..., None]
+            results['ori_img'] = np.ascontiguousarray(img, np.float32)
+            # per-sample replay metas as stackable arrays so the
+            # collated batch carries them to PFSTV4's in-step
+            # transform_by_metas (rot90/flip only — see KeepOriImage)
+            results['rotate_k'] = np.asarray(
+                results.get('rotate_k', 0), np.int32)
+            flip = bool(results.get('flip', False))
+            direction = results.get('flip_direction') or 'horizontal'
+            results['flip_horizontal'] = np.asarray(
+                int(flip and 'horizontal' in direction), np.int32)
+            results['flip_vertical'] = np.asarray(
+                int(flip and 'vertical' in direction), np.int32)
         return results
 
     def __repr__(self):

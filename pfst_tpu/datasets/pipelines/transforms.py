@@ -283,6 +283,12 @@ class Pad:
             target = (-(-h // d) * d, -(-w // d) * d)
         for key in results.get('img_fields', ['img']):
             results[key] = self._pad(results[key], target, self.pad_val)
+        # the clean snapshot sits outside img_fields so geometric
+        # transforms skip it, but it must stay shape-aligned with img
+        # (reference keeps ori_img full-size instead: loading.py:74)
+        if 'ori_img' in results:
+            results['ori_img'] = self._pad(results['ori_img'], target,
+                                           self.pad_val)
         for key in results.get('seg_fields', []):
             results[key] = self._pad(results[key], target,
                                      self.seg_pad_val)
@@ -313,6 +319,10 @@ class Normalize:
     def __call__(self, results):
         for key in results.get('img_fields', ['img']):
             results[key] = self._norm(results[key])
+        # reference normalizes the clean snapshot explicitly
+        # (transforms.py:437-439)
+        if 'ori_img' in results:
+            results['ori_img'] = self._norm(results['ori_img'])
         results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
                                        to_rgb=self.to_rgb)
         return results
@@ -524,6 +534,34 @@ class PhotoMetricDistortion(_Photometric):
 
     def __call__(self, results):
         results['img'] = self._apply(results['img'])
+        return results
+
+    def __repr__(self):
+        return f'{self.__class__.__name__}()'
+
+
+@PIPELINES.register_module()
+class KeepOriImage:
+    """Snapshot the clean target view for PFSTV4-style teacher replay.
+
+    The reference stashes the *full original* image at load time
+    (``loading.py:74``) and replays resize+crop+rot+flip onto teacher
+    outputs (``pfst_v4.py:254-259``).  TPU-natively the teacher runs at
+    the crop resolution inside the jitted step, so the snapshot is
+    taken *after* the geometric resize/crop but *before* rot90/flip
+    and photometric distortion: only rot/flip need in-step replay
+    (``pfst_tpu/models/utils/pfst_transforms.py``) and every tensor
+    keeps a static crop-sized shape.
+
+    Place after ``RandomCrop``, before ``RandomRotate90``/
+    ``RandomFlip``/``StrongAugmentation``.  The snapshot stays outside
+    ``img_fields`` so later geometric transforms skip it; ``Normalize``
+    and ``Pad`` special-case it.  ``UDADataset`` forwards it to the
+    batch as ``target_img_ori``.
+    """
+
+    def __call__(self, results):
+        results['ori_img'] = results['img'].copy()
         return results
 
     def __repr__(self):

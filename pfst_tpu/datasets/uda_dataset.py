@@ -107,6 +107,12 @@ class UDADataset:
             results['target_img_strong_aug'] = s2['img_strong_aug']
         if 'ori_img' in s2:
             results['target_img_ori'] = s2['ori_img']
+            # the target view's recorded rot/flip drive the in-step
+            # replay (PFSTV4); source metas of the same names would
+            # clobber them, so copy explicitly from the target sample
+            for k in ('rotate_k', 'flip_vertical', 'flip_horizontal'):
+                if k in s2:
+                    results[k] = s2[k]
         return results
 
     def __getitem__(self, idx):

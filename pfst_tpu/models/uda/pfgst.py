@@ -310,7 +310,7 @@ class PFGST(UDADecorator):
             lvl = self.mix_ema_feat_level
             src_l = jax.lax.stop_gradient(
                 clean_states['features'][lvl])
-            ema_l = ema_states['feats'][lvl] if isinstance(
+            ema_l = ema_feats[lvl] if isinstance(
                 ema_feats, (tuple, list)) else ema_feats
             fh, fw = src_l.shape[1:3]
             from ...ops import resize as _resize

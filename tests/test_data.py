@@ -150,3 +150,48 @@ def test_test_pipeline_and_pre_eval(isprs_root):
     pre = ds.pre_eval(pred, 0)
     res = ds.evaluate(pre, metric='mIoU')
     assert 'mIoU' in res and 0.0 <= res['mIoU'] <= 1.0
+
+
+ORI_TARGET_PIPELINE = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotationsPseudoLabelsV2', pseudo_labels_dir=None,
+         reduce_zero_label=False, load_feats=False, pseudo_ratio=0.0),
+    dict(type='Resize', img_scale=(96, 96), ratio_range=(0.5, 2.0)),
+    dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
+    dict(type='KeepOriImage'),
+    dict(type='RandomRotate90', prob=1.0),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='vertical'),
+    dict(type='RandomFlip', flip_ratio=0.5, direction='horizontal'),
+    dict(type='StrongAugmentation'),
+    dict(type='Normalize', **IMG_NORM),
+    dict(type='Pad', size=CROP, pad_val=0, seg_pad_val=255),
+    dict(type='DefaultFormatBundle'),
+    dict(type='Collect', keys=['img', 'img_strong_aug', 'ori_img',
+                               'rotate_k', 'flip_vertical',
+                               'flip_horizontal', 'gt_semantic_seg']),
+]
+
+
+def test_keep_ori_image_replay_invariant(isprs_root):
+    """PFSTV4 wiring: replaying the clean snapshot with the recorded
+    rot/flip metas must reproduce the augmented target view exactly
+    (geometry only; photometric distortion stays on img_strong_aug)."""
+    import jax.numpy as jnp
+
+    from pfst_tpu.models.utils.pfst_transforms import transform_by_metas
+
+    cfg = dict(type='UDADataset',
+               source=_source_cfg(isprs_root, SOURCE_PIPELINE),
+               target=_source_cfg(isprs_root, ORI_TARGET_PIPELINE),
+               rare_class_sampling=None)
+    loader = DataLoader(build_dataset(cfg), samples_per_gpu=2,
+                        workers_per_gpu=1, seed=0)
+    b = next(iter(loader))
+    assert b['target_img_ori'].shape == b['target_img'].shape
+    assert b['rotate_k'].shape == (2,)
+    assert b['rotate_k'].dtype == np.int32
+    out = transform_by_metas(
+        jnp.asarray(b['target_img_ori']),
+        {k: b[k] for k in ('rotate_k', 'flip_vertical',
+                           'flip_horizontal')})
+    np.testing.assert_array_equal(np.asarray(out), b['target_img'])
