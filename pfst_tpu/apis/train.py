@@ -293,9 +293,16 @@ def train_segmentor(cfg,
                 f'time: {dt / log_interval:.3f}s '
                 f'data: {t_data / log_interval:.3f}s  {msg}', logger)
             t_last, t_data = time.time(), 0.0
-            for h in hooks:
-                h.after_train_iter(ctx, log_vars,
-                                   vis_states if collect_vis else None)
+            try:
+                for h in hooks:
+                    h.after_train_iter(
+                        ctx, log_vars,
+                        vis_states if collect_vis else None)
+            except ValueError as e:
+                # deliberate halt (PseudoLabelingHook*: the reference
+                # stops training the same way after dumping the corpus)
+                print_log(f'training halted by hook: {e}', logger)
+                break
 
         if work_dir and (it + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, it + 1, jax.device_get(state),

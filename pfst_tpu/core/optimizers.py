@@ -78,8 +78,9 @@ def _layer_id_from_path(path: str, num_layers: int) -> int:
     if any(k in path for k in ('stem', 'patch_embed', 'pos_embed',
                                'cls_token', 'conv1')):
         return 0
-    m = re.search(r'(?:block|layer|stage)[s_]?(\d+)[_.]?(?:block)?(\d+)?',
-                  path)
+    m = re.search(
+        r'(?:blocks?|layers?|stages?)[._]?(\d+)[_.]?(?:blocks?)?[._]?(\d+)?',
+        path)
     if m and 'backbone' in path:
         major = int(m.group(1))
         minor = int(m.group(2) or 0)
@@ -118,6 +119,23 @@ def build_optimizer(optimizer_cfg: dict,
     opt_type = cfg.pop('type', 'AdamW')
     base_lr = cfg.pop('lr', 1e-3)
     paramwise_cfg = cfg.pop('paramwise_cfg', None)
+    # mmcv constructor names (``core/optimizers/layer_decay_optimizer_
+    # constructor.py:103,189``): both select the layer-decay path here
+    constructor = cfg.pop('constructor', None)
+    if constructor in ('LearningRateDecayOptimizerConstructor',
+                       'LayerDecayOptimizerConstructor'):
+        paramwise_cfg = dict(paramwise_cfg or {})
+        if constructor == 'LayerDecayOptimizerConstructor':
+            # deprecated BEiT spelling (:188-209): forces
+            # layer_wise decay and renames layer_decay_rate
+            paramwise_cfg['decay_type'] = 'layer_wise'
+            if 'layer_decay_rate' in paramwise_cfg:
+                paramwise_cfg['decay_rate'] = \
+                    paramwise_cfg.pop('layer_decay_rate')
+        else:
+            paramwise_cfg.setdefault('decay_type', 'layer_wise')
+    elif constructor not in (None, 'DefaultOptimizerConstructor'):
+        raise ValueError(f'unsupported constructor {constructor}')
     schedule = build_lr_schedule(lr_config, base_lr, max_iters)
 
     def make(lr_mult=1.0, decay_mult=1.0):

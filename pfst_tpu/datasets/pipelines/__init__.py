@@ -1,6 +1,7 @@
 from .compose import Compose
 from .formatting import Collect, DefaultFormatBundle, ImageToTensor
 from .loading import (AnnotationMapperInria, LoadAnnotations,
+                      LoadAnnotationsDepth, LoadAnnotationsGTA,
                       LoadAnnotationsPseudoLabels,
                       LoadAnnotationsPseudoLabelsV2, LoadImageFromFile)
 from .test_time_aug import MultiScaleFlipAug
@@ -14,6 +15,7 @@ from .transforms import (CLAHE, AdjustGamma, ClipNormalize,
 __all__ = [
     'Compose', 'Collect', 'DefaultFormatBundle', 'ImageToTensor',
     'LoadImageFromFile', 'LoadAnnotations', 'LoadAnnotationsPseudoLabels',
+    'LoadAnnotationsGTA', 'LoadAnnotationsDepth',
     'LoadAnnotationsPseudoLabelsV2', 'AnnotationMapperInria',
     'MultiScaleFlipAug', 'Resize', 'RandomCrop', 'RandomFlip',
     'RandomRotate90', 'RandomRotate', 'Pad', 'Normalize', 'ClipNormalize',

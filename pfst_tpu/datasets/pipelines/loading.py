@@ -166,3 +166,60 @@ class AnnotationMapperInria:
         gt = (gt > 127).astype(np.uint8)
         results['gt_semantic_seg'] = gt
         return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotationsGTA:
+    """Depth-map annotation loader (``loading.py:181-236``): reads the
+    seg_map file as a float map, divides by 100, clips to [0, 500] and
+    zeroes NaNs — used for GTA-style height regression experiments."""
+
+    def __init__(self, reduce_zero_label=False, file_client_args=None,
+                 imdecode_backend=None):
+        self.reduce_zero_label = reduce_zero_label
+
+    def __call__(self, results):
+        if results.get('seg_prefix', None) is not None:
+            filename = osp.join(results['seg_prefix'],
+                                results['ann_info']['seg_map'])
+        else:
+            filename = results['ann_info']['seg_map']
+        gt = imread(filename, unchanged=True).astype(np.float32) / 100.
+        gt = np.clip(gt, 0, 500)
+        gt = np.nan_to_num(gt, nan=0.0)
+        results['gt_semantic_seg'] = gt
+        results['seg_fields'].append('gt_semantic_seg')
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}'
+                f'(reduce_zero_label={self.reduce_zero_label})')
+
+
+@PIPELINES.register_module()
+class LoadAnnotationsDepth:
+    """AGL (above-ground-level) depth loader (``loading.py:241-306``):
+    swaps ``RGB``->``AGL`` in the seg_map path, zeroes values > 400 and
+    clips to [0, 400]."""
+
+    def __init__(self, reduce_zero_label=False, file_client_args=None,
+                 imdecode_backend=None):
+        self.reduce_zero_label = reduce_zero_label
+
+    def __call__(self, results):
+        if results.get('seg_prefix', None) is not None:
+            filename = osp.join(results['seg_prefix'],
+                                results['ann_info']['seg_map'])
+        else:
+            filename = results['ann_info']['seg_map']
+        filename = filename.replace('RGB', 'AGL')
+        gt = imread(filename, unchanged=True).astype(np.float32)
+        gt[gt > 400] = 0
+        gt = np.clip(gt, 0, 400)
+        results['gt_semantic_seg'] = gt
+        results['seg_fields'].append('gt_semantic_seg')
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}'
+                f'(reduce_zero_label={self.reduce_zero_label})')

@@ -83,3 +83,38 @@ def test_all_ignored_is_finite():
                          ignore_index=255))
     assert np.isfinite(loss) and loss == 0.0
     assert np.isfinite(acc)
+
+
+def test_pseudo_label_and_local_pseudo_feat_losses():
+    """Runnable realisations of the reference's dev-code losses
+    (pseudo_label_loss.py / local_pseudo_feat_loss.py)."""
+    import jax.numpy as jnp
+
+    from pfst_tpu.models.losses.pseudo_label_loss import (
+        LocalPseudoFeatLoss, PseudoLabelLoss)
+
+    rs = np.random.RandomState(0)
+    b, h, w, c, ch = 2, 8, 10, 4, 6
+    tensors = dict(
+        logits_trg=jnp.asarray(rs.randn(b, h, w, c), jnp.float32),
+        logits_ema=jnp.asarray(rs.randn(b, h // 2, w // 2, c),
+                               jnp.float32),
+        gt_src=jnp.asarray(rs.randint(0, c, (b, 2 * h, 2 * w)),
+                           jnp.int32),
+        x_src=[jnp.asarray(rs.randn(b, h, w, ch), jnp.float32)
+               for _ in range(3)],
+        x_ema=[jnp.asarray(rs.randn(b, h, w, ch), jnp.float32)
+               for _ in range(3)],
+    )
+    out = PseudoLabelLoss(weights={'loss_pseudo': 0.5})(tensors)
+    assert set(out) == {'loss_pseudo'}
+    assert np.isfinite(np.asarray(out['loss_pseudo']))
+    assert float(out['loss_pseudo']) > 0
+
+    out2 = LocalPseudoFeatLoss(
+        top_k=2, dilation=1, kernel_size=3, feat_level=2,
+        weights=dict(src_pos=0.3, src_neg=0.2, sim_pos=0.5))(tensors)
+    assert set(out2) == {'loss_src_pos', 'loss_src_neg',
+                         'loss_sim_pos'}
+    for v in out2.values():
+        assert np.isfinite(np.asarray(v))
