@@ -1,0 +1,24 @@
+# DeepLabV3 (ASPP) on UNet-S5-D16.
+norm_cfg = dict(type='BN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    pretrained=None,
+    backbone=dict(
+        type='UNet', in_channels=3, base_channels=64, num_stages=5,
+        strides=(1, 1, 1, 1, 1), enc_num_convs=(2, 2, 2, 2, 2),
+        dec_num_convs=(2, 2, 2, 2), downsamples=(True, True, True, True),
+        norm_cfg=norm_cfg),
+    decode_head=dict(
+        type='ASPPHead', in_channels=64, in_index=4, channels=16,
+        dilations=(1, 12, 24, 36), dropout_ratio=0.1, num_classes=19,
+        norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    auxiliary_head=dict(
+        type='FCNHead', in_channels=128, in_index=3, channels=64,
+        num_convs=1, concat_input=False, dropout_ratio=0.1,
+        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=0.4)),
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))

@@ -1,0 +1,24 @@
+# UPerNet on ConvNeXt-B.
+norm_cfg = dict(type='BN', requires_grad=True)
+model = dict(
+    type='EncoderDecoder',
+    pretrained=None,
+    backbone=dict(
+        type='ConvNeXt', arch='base', out_indices=(0, 1, 2, 3),
+        drop_path_rate=0.4, layer_scale_init_value=1.0,
+        gap_before_final_norm=False),
+    decode_head=dict(
+        type='UPerHead', in_channels=(128, 256, 512, 1024),
+        in_index=(0, 1, 2, 3), input_transform='multiple_select',
+        pool_scales=(1, 2, 3, 6), channels=512, dropout_ratio=0.1,
+        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=1.0)),
+    auxiliary_head=dict(
+        type='FCNHead', in_channels=512, in_index=2, channels=256,
+        num_convs=1, concat_input=False, dropout_ratio=0.1,
+        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+                         loss_weight=0.4)),
+    train_cfg=dict(),
+    test_cfg=dict(mode='whole'))

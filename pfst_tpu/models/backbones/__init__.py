@@ -1,3 +1,4 @@
+from .convnext import ConvNeXt
 from .fast_cnns import (BiSeNetV1, BiSeNetV2, CGNet, ERFNet, FastSCNN,
                         ICNet, STDCNet)
 from .hrnet import HRNet
@@ -15,6 +16,7 @@ from .vit import BEiT, MAE, VisionTransformer
 __all__ = [
     'ResNet', 'ResNetV1c', 'ResNetV1d', 'ResNeXt', 'MobileNetV2',
     'MobileNetV3', 'MixVisionTransformer', 'MiT', 'SwinTransformer',
-    'UNet', 'HRNet', 'VisionTransformer', 'BEiT', 'MAE', 'FastSCNN', 'CGNet', 'ERFNet', 'STDCNet',
-    'BiSeNetV1', 'BiSeNetV2', 'ICNet', 'ResNeSt', 'PCPVT', 'SVT', 'TIMMBackbone'
+    'UNet', 'HRNet', 'VisionTransformer', 'BEiT', 'MAE', 'FastSCNN',
+    'CGNet', 'ERFNet', 'STDCNet', 'BiSeNetV1', 'BiSeNetV2', 'ICNet',
+    'ResNeSt', 'PCPVT', 'SVT', 'TIMMBackbone', 'ConvNeXt'
 ]
