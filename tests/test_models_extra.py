@@ -68,3 +68,12 @@ def test_ann_head():
     variables = head.init({'params': RNG}, _pyramid())
     logits, _ = head.apply(variables, _pyramid())
     assert logits.shape == (1, 2, 2, 5)
+
+
+def test_convnext_tiny():
+    bb = build_backbone(dict(type='ConvNeXt', arch='tiny',
+                             out_indices=(0, 1, 2, 3),
+                             drop_path_rate=0.1))
+    outs = run_module(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+    assert [o.shape[-1] for o in outs] == [96, 192, 384, 768]
