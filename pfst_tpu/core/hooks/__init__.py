@@ -1,5 +1,6 @@
 from .hook import HOOKS, Hook, build_hook
-from .loggers import TensorboardLoggerHook, TextLoggerHook, WandbHookSeg
+from .loggers import (ProfilerHook, TensorboardLoggerHook,
+                      TextLoggerHook, WandbHookSeg)
 from .plot_statistics_hook import (PlotMultiClassStatisticsHook,
                                    PlotStatisticsHook)
 from .pseudo_labeling_hook import (PseudoLabelingHook,
@@ -10,7 +11,7 @@ from .rare_class_sampling_hook import RareClassSamplingHook
 
 __all__ = [
     'HOOKS', 'Hook', 'build_hook', 'TextLoggerHook',
-    'TensorboardLoggerHook', 'WandbHookSeg', 'PlotStatisticsHook',
+    'TensorboardLoggerHook', 'WandbHookSeg', 'ProfilerHook', 'PlotStatisticsHook',
     'PlotMultiClassStatisticsHook', 'RareClassSamplingHook',
     'PseudoLabelingHook', 'PseudoLabelingHookV2', 'PseudoLabelingHookV3',
     'PseudoLabelingHookV4'

@@ -137,3 +137,47 @@ def _norm_img(img):
     img = np.asarray(img, np.float32)
     lo, hi = img.min(), img.max()
     return ((img - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+
+
+@HOOKS.register_module()
+class ProfilerHook(Hook):
+    """Capture a JAX device profile for a window of train iterations.
+
+    The reference has no profiler (SURVEY §5: mmcv IterTimerHook only);
+    on TPU a proper trace is the tool that matters.  Writes a
+    Perfetto/XProf trace to ``{work_dir}/{out_dir}`` covering steps
+    [start_iter, start_iter + num_steps).
+
+    Usage::
+
+        custom_hooks = [dict(type='ProfilerHook', start_iter=10,
+                             num_steps=5)]
+    """
+
+    def __init__(self, start_iter=10, num_steps=5, out_dir='profile',
+                 **kwargs):
+        self.start_iter = int(start_iter)
+        self.num_steps = int(num_steps)
+        self.out_dir = out_dir
+        self._active = False
+
+    def after_train_iter(self, ctx, log_vars, vis_states=None):
+        import os.path as osp
+
+        import jax
+        it = int(ctx.get('iter', 0))
+        if not self._active and it == self.start_iter:
+            path = osp.join(ctx.get('work_dir') or '.', self.out_dir)
+            jax.profiler.start_trace(path)
+            self._active = True
+            get_root_logger().info(f'profiler trace started -> {path}')
+        elif self._active and it >= self.start_iter + self.num_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            get_root_logger().info('profiler trace stopped')
+
+    def after_run(self, ctx):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
