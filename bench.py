@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_PATCHES_PER_SEC = 21.0
-BATCH = 16  # best of {8: 278, 16: 347, 32: 339} patches/s on v5e-1
+BATCH = 24  # sweep on v5e-1: {8: 278, 16: 347, 20: 292, 24: 360,
+#              28: 286, 32: 339} patches/s — 24 (3x8 sublanes) peaks
 SIZE = 512
 THRESHOLD = 0.98
 STEPS = 30
