@@ -26,7 +26,7 @@ import numpy as np
 
 REFERENCE_GPU_PATCHES_PER_SEC = 21.0
 BATCH = 24  # sweep on v5e-1: {8: 278, 16: 347, 20: 292, 24: 360,
-#              28: 286, 32: 339} patches/s — 24 (3x8 sublanes) peaks
+#              28: 286, 32: 339, 40: 343, 48: 348} — 24 peaks
 SIZE = 512
 THRESHOLD = 0.98
 STEPS = 30

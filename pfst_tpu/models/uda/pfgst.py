@@ -304,8 +304,15 @@ class PFGST(UDADecorator):
         log_vars.update(mix_log)
         total_loss = total_loss + mix_loss * self.trg_loss_weight
 
+        # ---- PGSTMixFeat: teacher forward on the mixed image ----------
+        # (``pgst_mix_feat.py:289-295``: instead of mask-mixing feature
+        # maps, the EMA model runs a second time on the mixed view and
+        # those features feed the aux losses)
+        if getattr(self, 'mix_feat_teacher_forward', False):
+            _, ema_feats = self.teacher_forward(
+                ema_params, ema_batch_stats, mixed_img)
         # ---- PGST ema-feature mixing (``pgst.py:108-115``) -------------
-        if self.mix_ema_feat_level is not None and not \
+        elif self.mix_ema_feat_level is not None and not \
                 self.target_self_training:
             lvl = self.mix_ema_feat_level
             src_l = jax.lax.stop_gradient(

@@ -42,4 +42,12 @@ class PGSTV4(PGST):
 
 @UDA.register_module()
 class PGSTMixFeat(PGST):
-    """(``pgst_mix_feat.py``) feature-space mixing variant of PGST."""
+    """(``pgst_mix_feat.py:54,289-295``) instead of mask-mixing the
+    teacher/student feature maps, the EMA model runs a second forward
+    on the mixed image and those features feed the aux losses."""
+
+    mix_feat_teacher_forward = True
+
+    @property
+    def mix_ema_feat_level(self):
+        return None
