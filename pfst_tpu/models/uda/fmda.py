@@ -1,16 +1,22 @@
 """FMDA (mirror of ``rsiseg/models/uda/fmda.py`` / ``fmda_mix.py``).
 
-Target self-training without ClassMix: the whole target image is
-strongly augmented and trained against the teacher's pseudo labels
-(losses prefixed ``trg``, ``fmda.py:309-325``), with the PFGST-style
-aux losses on the collected tensors.  The Fourier-amplitude mixing of
-``FMDAMix`` lives in the data pipeline in the reference; the algorithm
-step is identical.
+``FMDA`` (``fmda.py:177-``): target self-training without ClassMix —
+the whole target image is strongly augmented (``'mix': None``) and
+trained against the teacher's pseudo labels (losses prefixed ``trg``,
+``fmda.py:309-325``), with the PFGST-style aux losses on the collected
+tensors.
+
+``FMDAMix`` (``fmda_mix.py:54,268-283``) is *not* a self-training
+variant: it runs ClassMix plus the PGST-style mask mixing of
+stop-grad(student source features) with the teacher features at
+``feat_level`` (default 2) — identical step semantics to ``PGST``.
+(Despite the name, no Fourier op exists anywhere in the reference.)
 """
 from __future__ import annotations
 
 from ..builder import UDA
 from .pfgst import PFGST
+from .pgst import PGST
 
 
 @UDA.register_module()
@@ -23,5 +29,10 @@ class FMDA(PFGST):
 
 
 @UDA.register_module()
-class FMDAMix(FMDA):
-    """(``fmda_mix.py:54``) — amplitude-mix handled by the pipeline."""
+class FMDAMix(PGST):
+    """ClassMix + ema-feature mask mixing at ``feat_level``
+    (``fmda_mix.py:268-283``; reference default feat_level=2)."""
+
+    def __init__(self, **cfg):
+        cfg.setdefault('feat_level', 2)
+        super().__init__(**cfg)

@@ -74,6 +74,7 @@ def _run_one(cfg):
     ('PGSTMixFeat', dict(aux_losses=AUX3, feat_level=3)),
     ('PGSTTRG', dict(aux_losses=AUX3)),
     ('FMDA', dict(aux_losses=AUX3)),
+    ('FMDAMix', dict(aux_losses=AUX3, feat_level=3)),
 ])
 def test_uda_variant_step(uda_type, extra):
     log_vars = _run_one(_uda_cfg(uda_type, **extra))
