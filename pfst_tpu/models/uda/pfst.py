@@ -32,12 +32,17 @@ class PFST(PFGST):
 
 @UDA.register_module()
 class PFSTV2(PFST):
-    """(``pfst_v2.py``) same fused step; config-level differences only."""
+    """(``pfst_v2.py``) byte-identical training math to PFST; the only
+    diff is the vis-mask render threshold (``pfst_v2.py:329``:
+    ``vis_pseudo_weight > 0.0`` vs ``> 0.5``)."""
 
 
 @UDA.register_module()
 class PFSTV3(PFST):
-    """(``pfst_v3.py``) same fused step; config-level differences only."""
+    """(``pfst_v3.py``) training math identical to PFSTV2; adds only a
+    private (unused) ``transform_by_metas`` copy (``pfst_v3.py:352``)
+    — the shared replay lives in ``pfst_tpu/models/utils/
+    pfst_transforms.py`` here."""
 
 
 @UDA.register_module()

@@ -37,7 +37,13 @@ class PGSTTRG(PFGST):
 
 @UDA.register_module()
 class PGSTV4(PGST):
-    """(``pgst_v4.py``) same fused step as PGST."""
+    """(``pgst_v4.py``) PGST *without* the ema-feature mask mixing:
+    the aux losses consume the raw teacher features
+    (``pgst_v4.py``: ``x_ema=ema_feats``, no ``mixed_ema_feats``)."""
+
+    @property
+    def mix_ema_feat_level(self):
+        return None
 
 
 @UDA.register_module()

@@ -72,6 +72,7 @@ def _run_one(cfg):
     ('DACS', dict(imnet_feature_dist_lambda=0.005)),
     ('PGST', dict(aux_losses=AUX3, feat_level=3)),
     ('PGSTMixFeat', dict(aux_losses=AUX3, feat_level=3)),
+    ('PGSTV4', dict(aux_losses=AUX3, feat_level=3)),
     ('PGSTTRG', dict(aux_losses=AUX3)),
     ('FMDA', dict(aux_losses=AUX3)),
     ('FMDAMix', dict(aux_losses=AUX3, feat_level=3)),
