@@ -184,7 +184,8 @@ def train_segmentor(cfg,
 
     batch_iter = iter(loader)
     first = next(batch_iter)
-    img_shape = first['img'].shape
+    # MultiDomainDataset batches carry dom1_/dom2_ prefixed keys
+    img_shape = first['img' if 'img' in first else 'dom1_img'].shape
 
     rng = jax.random.PRNGKey(seed)
     init_rng, rng = jax.random.split(rng)

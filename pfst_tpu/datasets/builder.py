@@ -171,6 +171,16 @@ class DataLoader:
             stop.set()
 
     def __iter__(self):
+        if len(self) == 0:
+            # drop_last with a per-rank shard smaller than the global
+            # batch would otherwise spin forever in infinite mode
+            raise ValueError(
+                f'DataLoader yields 0 batches: dataset of '
+                f'{len(self.dataset)} split over world_size='
+                f'{self.world_size} gives '
+                f'{len(self._epoch_indices(0))} samples/rank for '
+                f'batch_size={self.batch_size} (drop_last='
+                f'{self.drop_last})')
         if self.infinite:
             epoch = self.epoch
             while True:

@@ -82,7 +82,10 @@ class RepeatDataset:
 
 @DATASETS.register_module()
 class MultiDomainDataset:
-    """round-robin over domains (``dataset_wrappers.py:262``)."""
+    """One sample per domain per item, keys prefixed ``dom{i+1}_``
+    (``dataset_wrappers.py:262-287``): domain 1 indexed, the others
+    drawn uniformly at random — the input of the DomainAdaptor/FMDA
+    segmentor family."""
 
     def __init__(self, datasets, cfg=None):
         self.datasets = list(datasets)
@@ -91,15 +94,16 @@ class MultiDomainDataset:
         self.ignore_index = getattr(self.datasets[0], 'ignore_index', 255)
 
     def __len__(self):
-        return max(len(d) for d in self.datasets) * len(self.datasets)
+        return len(self.datasets[0])
 
     def __getitem__(self, idx):
-        di = idx % len(self.datasets)
-        ds = self.datasets[di]
-        si = (idx // len(self.datasets)) % len(ds)
-        sample = ds[si]
-        sample['domain'] = di
-        return sample
+        import numpy as np
+        results = {}
+        for i, ds in enumerate(self.datasets):
+            cur = idx if i == 0 else int(np.random.randint(len(ds)))
+            for key, value in ds[cur].items():
+                results[f'dom{i + 1}_{key}'] = value
+        return results
 
 
 @DATASETS.register_module()

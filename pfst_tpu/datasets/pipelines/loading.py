@@ -114,11 +114,13 @@ class LoadAnnotationsPseudoLabelsV2(LoadAnnotations):
     """
 
     def __init__(self, pseudo_labels_dir=None, pseudo_ratio=0.0,
-                 load_feats=False, reduce_zero_label=False, **kwargs):
+                 load_feats=False, reduce_zero_label=False,
+                 sim_feat_names=('gaussian_sim_feat_2',), **kwargs):
         super().__init__(reduce_zero_label=reduce_zero_label)
         self.pseudo_labels_dir = pseudo_labels_dir
         self.pseudo_ratio = pseudo_ratio
         self.load_feats = load_feats
+        self.sim_feat_names = list(sim_feat_names)
 
     def __call__(self, results):
         h, w = results['img'].shape[:2]
@@ -135,8 +137,12 @@ class LoadAnnotationsPseudoLabelsV2(LoadAnnotations):
             thre_key = f'thre@{self.pseudo_ratio}'
             thresholds = np.asarray(f[thre_key], np.float32) \
                 if thre_key in f else None
-            if self.load_feats and 'feats' in f:
-                results['pseudo_feats'] = np.asarray(f['feats'])
+            if self.load_feats:
+                # precomputed sim maps for FMDAAdaptor's loss_sim_feat
+                # (reference ``loading.py:497-503``); stored (h,w,k2)
+                for key in self.sim_feat_names:
+                    if key in f:
+                        results[key] = np.asarray(f[key], np.float32)
         e = np.exp(logits - logits.max(0, keepdims=True))
         prob = e / e.sum(0, keepdims=True)
         label = prob.argmax(0).astype(np.uint8)

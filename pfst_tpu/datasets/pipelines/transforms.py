@@ -558,6 +558,12 @@ class KeepOriImage:
     ``img_fields`` so later geometric transforms skip it; ``Normalize``
     and ``Pad`` special-case it.  ``UDADataset`` forwards it to the
     batch as ``target_img_ori``.
+
+    Caveat: exact replay requires the resized image to cover the crop
+    (no Pad fill) — when Pad actually pads, img is padded *after*
+    rot/flip but the snapshot is not rotated, so the fill corners
+    differ.  Keep ``ratio_range``'s floor >= crop/img_scale (true of
+    every shipped 512^2 pipeline).
     """
 
     def __call__(self, results):

@@ -99,10 +99,15 @@ class DomainAdaptor(_DomainAdaptorBase):
         model = self.model
 
         def step_fn(state, batch, rng):
-            img_src = batch['img']
-            gt_src = batch['gt_semantic_seg'].astype(jnp.int32)
-            img_trg = batch['target_img']
-            gt_trg = batch.get('target_gt_semantic_seg')
+            # dom1_/dom2_ (MultiDomainDataset) or img/target_*
+            # (UDADataset) key conventions both accepted
+            img_src = batch.get('dom1_img', batch.get('img'))
+            gt_src = batch.get('dom1_gt_semantic_seg',
+                               batch.get('gt_semantic_seg'))
+            gt_src = gt_src.astype(jnp.int32)
+            img_trg = batch.get('dom2_img', batch.get('target_img'))
+            gt_trg = batch.get('dom2_gt_semantic_seg',
+                               batch.get('target_gt_semantic_seg'))
 
             def loss_fn(params):
                 log_vars = {}
@@ -216,9 +221,11 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
             return l_src, tensors, upd['batch_stats']
 
         def step_fn(state, batch, rng):
-            img_src = batch['img']
-            gt_src = batch['gt_semantic_seg'].astype(jnp.int32)
-            img_trg = batch['target_img']
+            img_src = batch.get('dom1_img', batch.get('img'))
+            gt_src = batch.get('dom1_gt_semantic_seg',
+                               batch.get('gt_semantic_seg'))
+            gt_src = gt_src.astype(jnp.int32)
+            img_trg = batch.get('dom2_img', batch.get('target_img'))
 
             # ---- generator phase -----------------------------------
             def gen_loss_fn(params):
@@ -290,10 +297,114 @@ class DomainAdaptorV2(DomainAdaptor):
 
 @SEGMENTORS.register_module()
 class FMDAAdaptor(DomainAdaptor):
-    """Fourier-mix adaptor (``fmda_adaptor.py``); amplitude mixing is a
-    pipeline transform in this build."""
+    """Feature-map domain adaptor (``fmda_adaptor.py:17,190-270``).
+
+    Joint src+trg supervised training plus a ``loss_sim_feat``
+    regularizer over *precomputed* neighborhood-similarity maps
+    carried in the batch (keys containing ``sim_feat``, loaded by
+    ``LoadAnnotationsPseudoLabelsV2(load_feats=True)`` from the
+    offline generator's h5 corpus).  The reference replays each map
+    into the augmented frame per sample (``fmda_adaptor.py:200-213``);
+    here rot/flip replay runs in-step when the batch carries the
+    recorded meta arrays (``KeepOriImage`` pipeline), and the maps are
+    resized (nearest) to ``pre_feat_shape``/logit resolution.
+    """
+
+    def __init__(self, **cfg):
+        super().__init__(**cfg)
+        self.pre_feat_shape = cfg.get('pre_feat_shape')
+        self.loss_sim_feat = build_loss(cfg['loss_sim_feat']) \
+            if cfg.get('loss_sim_feat') else None
+
+    def make_train_step(self, tx, mean, std, collect_vis=False,
+                        donate=True, axis_name=None, jit=True):
+        model = self.model
+
+        def step_fn(state, batch, rng):
+            # MultiDomainDataset emits dom1_/dom2_ keys (the reference
+            # input of this family, ``fmda_adaptor.py:190-191``);
+            # UDADataset emits img/target_* — accept both.
+            img_src = batch.get('dom1_img', batch.get('img'))
+            gt_src = batch.get('dom1_gt_semantic_seg',
+                               batch.get('gt_semantic_seg'))
+            gt_src = gt_src.astype(jnp.int32)
+            img_trg = batch.get('dom2_img', batch.get('target_img'))
+            gt_trg = batch.get('dom2_gt_semantic_seg',
+                               batch.get('target_gt_semantic_seg'))
+            sim_keys = sorted(k for k in batch
+                              if 'sim_feat' in k and
+                              hasattr(batch[k], 'ndim'))
+
+            def loss_fn(params):
+                from ...ops import resize as _resize
+                from ..utils.pfst_transforms import transform_by_metas
+                log_vars = {}
+                (l_src, st_src), upd = model.apply(
+                    {'params': params,
+                     'batch_stats': state.batch_stats}, img_src, gt_src,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': rng},
+                    method=model.forward_train)
+                total, lv = parse_losses(add_prefix(l_src, 'src.dec'))
+                log_vars.update(lv)
+                bs = upd['batch_stats']
+
+                trg_labels = gt_trg.astype(jnp.int32) if gt_trg is not \
+                    None else jnp.full(img_trg.shape[:3], 255, jnp.int32)
+                (l_trg, st_trg), upd = model.apply(
+                    {'params': params, 'batch_stats': bs}, img_trg,
+                    trg_labels, train=True, mutable=['batch_stats'],
+                    rngs={'dropout': jax.random.fold_in(rng, 1)},
+                    method=model.forward_train)
+                t_trg, lv = parse_losses(add_prefix(l_trg, 'trg.dec'))
+                log_vars.update(lv)
+                total = total + t_trg * self.weight_trg
+                bs = upd['batch_stats']
+
+                if self.loss_sim_feat is not None and sim_keys:
+                    trg_logits = st_trg['seg_logits']
+                    metas = {}
+                    for k in ('rotate_k', 'flip_vertical',
+                              'flip_horizontal'):
+                        if f'dom2_{k}' in batch:
+                            metas[k] = batch[f'dom2_{k}']
+                        elif k in batch:
+                            metas[k] = batch[k]
+                    aug_list = []
+                    for k in sim_keys:
+                        data = batch[k]
+                        if self.pre_feat_shape is not None:
+                            data = _resize(
+                                data, size=tuple(self.pre_feat_shape),
+                                mode='nearest')
+                        if metas:
+                            data = transform_by_metas(data, metas)
+                        aug_list.append(data)
+                    l_sim, _ = self.loss_sim_feat(aug_list, trg_logits)
+                    s_total, lv = parse_losses(l_sim)
+                    log_vars.update(lv)
+                    total = total + s_total
+                return total, (log_vars, bs)
+
+            (total, (log_vars, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            log_vars['loss'] = total
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                bs = jax.lax.pmean(bs, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            return state.replace(params=new_params, batch_stats=bs,
+                                 opt_state=new_opt,
+                                 step=state.step + 1), log_vars, {}
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate and jit
+                       else ()) if jit else step_fn
 
 
 @SEGMENTORS.register_module()
 class FMDAAdaptorV2(FMDAAdaptor):
-    """(``fmda_adaptor_v2.py``)."""
+    """(``fmda_adaptor_v2.py``) same step; meta-replay scale variant."""

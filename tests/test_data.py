@@ -152,11 +152,15 @@ def test_test_pipeline_and_pre_eval(isprs_root):
     assert 'mIoU' in res and 0.0 <= res['mIoU'] <= 1.0
 
 
+# ratio_range floor keeps resized >= crop: with images smaller than
+# the crop, Pad (after rot/flip) fills different corners of img vs the
+# pre-rotation snapshot and exact replay is impossible (the shipped
+# 512^2 pipelines are always in this no-pad regime).
 ORI_TARGET_PIPELINE = [
     dict(type='LoadImageFromFile'),
     dict(type='LoadAnnotationsPseudoLabelsV2', pseudo_labels_dir=None,
          reduce_zero_label=False, load_feats=False, pseudo_ratio=0.0),
-    dict(type='Resize', img_scale=(96, 96), ratio_range=(0.5, 2.0)),
+    dict(type='Resize', img_scale=(96, 96), ratio_range=(0.8, 1.2)),
     dict(type='RandomCrop', crop_size=CROP, cat_max_ratio=0.75),
     dict(type='KeepOriImage'),
     dict(type='RandomRotate90', prob=1.0),
@@ -184,6 +188,7 @@ def test_keep_ori_image_replay_invariant(isprs_root):
                source=_source_cfg(isprs_root, SOURCE_PIPELINE),
                target=_source_cfg(isprs_root, ORI_TARGET_PIPELINE),
                rare_class_sampling=None)
+    np.random.seed(0)
     loader = DataLoader(build_dataset(cfg), samples_per_gpu=2,
                         workers_per_gpu=1, seed=0)
     b = next(iter(loader))
@@ -195,3 +200,28 @@ def test_keep_ori_image_replay_invariant(isprs_root):
         {k: b[k] for k in ('rotate_k', 'flip_vertical',
                            'flip_horizontal')})
     np.testing.assert_array_equal(np.asarray(out), b['target_img'])
+
+
+def test_multi_domain_dataset_prefixes(isprs_root):
+    """MultiDomainDataset: one sample per domain, dom{i}_ prefixed
+    keys (dataset_wrappers.py:262-287) — the DomainAdaptor input."""
+    cfg = dict(type='MultiDomainDataset', datasets=[
+        _source_cfg(isprs_root, SOURCE_PIPELINE),
+        _source_cfg(isprs_root, SOURCE_PIPELINE),
+    ])
+    ds = build_dataset(cfg)
+    assert len(ds) == 4
+    s = ds[1]
+    assert s['dom1_img'].shape == (64, 64, 3)
+    assert s['dom2_img'].shape == (64, 64, 3)
+    assert 'dom1_gt_semantic_seg' in s and 'dom2_gt_semantic_seg' in s
+
+
+def test_dataloader_zero_batch_guard(isprs_root):
+    """drop_last + per-rank shard < batch_size must raise instead of
+    spinning forever in infinite mode."""
+    ds = build_dataset(_source_cfg(isprs_root, SOURCE_PIPELINE))
+    loader = DataLoader(ds, samples_per_gpu=16, workers_per_gpu=1,
+                        seed=0, drop_last=True, infinite=True)
+    with pytest.raises(ValueError, match='0 batches'):
+        next(iter(loader))

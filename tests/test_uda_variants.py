@@ -142,3 +142,36 @@ def test_split_compile_matches_fused():
     d = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
                      s1.params, s2.params)
     assert max(jax.tree.leaves(d)) < 1e-6
+
+
+def test_fmda_adaptor_sim_feat_step():
+    """FMDAAdaptor: joint src+trg CE + loss_sim_feat over precomputed
+    neighborhood-similarity maps in the batch (fmda_adaptor.py:190-)."""
+    cfg = tiny_model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='FMDAAdaptor',
+        backbone=cfg['backbone'],
+        decode_head=cfg['decode_head'],
+        auxiliary_head=None,
+        weight_trg=0.5,
+        loss_sim_feat=dict(type='FeatSimLossV2', top_k=2, dilation=1,
+                           kernel_size=3, weights=[(0.3, 0.3)]),
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    tx = optax.adam(1e-4)
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    b = _batch()
+    rs = np.random.RandomState(0)
+    b['target_gt_semantic_seg'] = b['gt_semantic_seg']
+    b['gaussian_sim_feat_2'] = jnp.asarray(
+        rs.rand(2, 8, 8, 9).astype(np.float32))
+    b['rotate_k'] = jnp.asarray([1, 0], jnp.int32)
+    state2, log_vars, _ = step(state, b, jax.random.PRNGKey(1))
+    assert 'loss_sim_pos_0' in log_vars and 'loss_sim_neg_0' in log_vars
+    assert 'src.dec.decode.loss_ce' in log_vars
+    assert 'trg.dec.decode.loss_ce' in log_vars
+    assert np.isfinite(float(log_vars['loss']))
+    moved = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                         state.params, state2.params)
+    assert max(jax.tree.leaves(moved)) > 0

@@ -55,6 +55,18 @@ def entropy_of(logits):
     return -(p * np.log(p + 1e-12)).sum(0), p
 
 
+def gaussian_sim_map(feat_hwc, kernel_size, dilation, sigma):
+    """(h,w,C) feature map -> (h,w,k^2) gaussian neighborhood
+    similarity (``pseudo_labeling_hookv4.py:210-234``)."""
+    import jax.numpy as jnp
+
+    from pfst_tpu.ops import unfold_neighbors
+    x = jnp.asarray(feat_hwc, jnp.float32)[None]
+    unf = unfold_neighbors(x, kernel_size, dilation)
+    d2 = jnp.sum((unf - x[:, :, :, None, :])**2, axis=-1)
+    return np.asarray(jnp.exp(-d2 / sigma**2))[0]
+
+
 def solve_sigma(feats_list, kernel_size, dilation, target_mean_sim):
     """Binary-search sigma so mean gaussian neighborhood similarity hits
     the target (``pseudo_labeling_hookv4.py:236-278``)."""
@@ -162,6 +174,25 @@ def main(args=None):
     }
     with open(osp.join(args.out_dir, 'sigmas.json'), 'w') as f:
         json.dump(sigmas, f, indent=2)
+
+    # second pass (``pseudo_labeling_hookv4.py:154-163``): gaussian
+    # neighborhood-similarity maps of the dumped features with the
+    # solved sigma, consumed by FMDAAdaptor via
+    # LoadAnnotationsPseudoLabelsV2(sim_feat_names=...)
+    if args.save_feats:
+        sigma0 = sigmas[str(args.mean_sim[0])]
+        for name in names:
+            with h5py.File(osp.join(args.out_dir, f'{name}.h5'),
+                           'a') as f:
+                for lvl in args.feat_levels:
+                    key = f'feats_{lvl}'
+                    if key not in f:
+                        continue
+                    feat = np.asarray(f[key], np.float32)  # (h,w,C)
+                    sim = gaussian_sim_map(feat, args.kernel_size,
+                                           args.dilation, sigma0)
+                    f.create_dataset(f'gaussian_sim_feat_{lvl}',
+                                     data=sim.astype(np.float16))
     print('thresholds + sigmas written to', args.out_dir)
 
 
