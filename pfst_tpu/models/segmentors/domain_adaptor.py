@@ -62,6 +62,12 @@ class _DomainAdaptorBase:
         self.model = build_segmentor(model_cfg)
         self.num_classes = cfg['decode_head']['num_classes']
         self.weight_trg = cfg.get('weight_trg', 1.0)
+        # tensors-dict aux losses (``domain_adaptorv2.py``: aux_losses
+        # built like the UDA layer's and fed the collected tensors)
+        aux = cfg.get('aux_losses')
+        if aux is not None and not isinstance(aux, (list, tuple)):
+            aux = [aux]
+        self.aux_losses = [build_loss(dict(l)) for l in (aux or [])]
 
     def get_model(self):
         return self.model
@@ -111,7 +117,7 @@ class DomainAdaptor(_DomainAdaptorBase):
 
             def loss_fn(params):
                 log_vars = {}
-                (l_src, _), upd = model.apply(
+                (l_src, st_src), upd = model.apply(
                     {'params': params,
                      'batch_stats': state.batch_stats}, img_src, gt_src,
                     train=True, mutable=['batch_stats'],
@@ -120,8 +126,9 @@ class DomainAdaptor(_DomainAdaptorBase):
                 total, lv = parse_losses(add_prefix(l_src, 'src'))
                 log_vars.update(lv)
                 bs = upd['batch_stats']
+                st_trg = None
                 if gt_trg is not None:
-                    (l_trg, _), upd = model.apply(
+                    (l_trg, st_trg), upd = model.apply(
                         {'params': params, 'batch_stats': bs}, img_trg,
                         gt_trg.astype(jnp.int32), train=True,
                         mutable=['batch_stats'],
@@ -131,6 +138,27 @@ class DomainAdaptor(_DomainAdaptorBase):
                     log_vars.update(lv)
                     total = total + t_trg * self.weight_trg
                     bs = upd['batch_stats']
+                if self.aux_losses and st_trg is not None:
+                    # domain_adaptorv2.py: aux losses over the
+                    # collected tensors, like the UDA layer's
+                    tensors = dict(
+                        img_src=img_src, img_trg=img_trg, gt_src=gt_src,
+                        x_src=st_src['features'],
+                        x_trg=st_trg['features'],
+                        logits_src=jax.lax.stop_gradient(
+                            st_src['seg_logits']),
+                        logits_trg=st_trg['seg_logits'])
+                    aux = {}
+                    for lm in self.aux_losses:
+                        out = lm(tensors)
+                        if out:
+                            aux.update(out)
+                    aux = {k: v for k, v in aux.items()
+                           if not k.startswith('vis|')}
+                    if aux:
+                        a_total, lv = parse_losses(aux)
+                        log_vars.update(lv)
+                        total = total + a_total
                 return total, (log_vars, bs)
 
             (total, (log_vars, bs)), grads = jax.value_and_grad(

@@ -175,3 +175,28 @@ def test_fmda_adaptor_sim_feat_step():
     moved = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
                          state.params, state2.params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_domain_adaptor_v2_aux_losses():
+    """DomainAdaptorV2 (domain_adaptorv2.py): tensors-dict aux losses
+    (here EntropyLoss on the target logits) added to the joint step."""
+    cfg = tiny_model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptorV2',
+        backbone=cfg['backbone'],
+        decode_head=cfg['decode_head'],
+        auxiliary_head=None,
+        weight_trg=0.5,
+        aux_losses=[dict(type='EntropyLoss', loss_type='entropy',
+                         weights={'loss_ent': 0.01})],
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    tx = optax.adam(1e-4)
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    b = _batch()
+    b['target_gt_semantic_seg'] = b['gt_semantic_seg']
+    state2, log_vars, _ = step(state, b, jax.random.PRNGKey(1))
+    assert 'loss_ent' in log_vars
+    assert 'src.decode.loss_ce' in log_vars
+    assert np.isfinite(float(log_vars['loss']))
