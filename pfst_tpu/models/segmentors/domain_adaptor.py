@@ -338,6 +338,8 @@ class FMDAAdaptor(DomainAdaptor):
     resized (nearest) to ``pre_feat_shape``/logit resolution.
     """
 
+    feat_key_filter = 'feat'   # raw features (fmda_adaptor.py:197)
+
     def __init__(self, **cfg):
         super().__init__(**cfg)
         self.pre_feat_shape = cfg.get('pre_feat_shape')
@@ -359,9 +361,15 @@ class FMDAAdaptor(DomainAdaptor):
             img_trg = batch.get('dom2_img', batch.get('target_img'))
             gt_trg = batch.get('dom2_gt_semantic_seg',
                                batch.get('target_gt_semantic_seg'))
-            sim_keys = sorted(k for k in batch
-                              if 'sim_feat' in k and
-                              hasattr(batch[k], 'ndim'))
+            # V1 collects raw-feature keys ('feat',
+            # ``fmda_adaptor.py:197``) for FeatSimLoss; V2 collects
+            # precomputed sim maps ('sim_feat',
+            # ``fmda_adaptor_v2.py``) for FeatSimLossV2
+            sim_keys = sorted(
+                k for k in batch
+                if self.feat_key_filter in k and
+                hasattr(batch[k], 'ndim') and
+                not any(m in k for m in ('rotate', 'flip')))
 
             def loss_fn(params):
                 from ...ops import resize as _resize
@@ -435,4 +443,7 @@ class FMDAAdaptor(DomainAdaptor):
 
 @SEGMENTORS.register_module()
 class FMDAAdaptorV2(FMDAAdaptor):
-    """(``fmda_adaptor_v2.py``) same step; meta-replay scale variant."""
+    """(``fmda_adaptor_v2.py``) consumes *precomputed* similarity maps
+    ('sim_feat' batch keys, no pre_feat_shape) with FeatSimLossV2."""
+
+    feat_key_filter = 'sim_feat' 
