@@ -66,6 +66,8 @@ class PFGST(UDADecorator):
         self.strong_aug_denorm_type = cfg.get('strong_aug_denorm_type',
                                               'mean_std')
         self.apply_no_mix = cfg.get('apply_no_mix', False)
+        self.print_grad_magnitude = cfg.get('print_grad_magnitude',
+                                            False)
         assert self.mix == 'class'
         aux_losses = cfg.get('aux_losses', None)
         if aux_losses is not None and not isinstance(aux_losses, (list,
@@ -403,6 +405,13 @@ class PFGST(UDADecorator):
                 loss_fn, has_aux=True)(state.params)
             log_vars = dict(aux['log_vars'])
             log_vars['loss'] = total
+            if getattr(self, 'print_grad_magnitude', False):
+                # L2 norm of the backbone grads
+                # (``pfgst.py:42-52`` calc_grad_magnitude; the
+                # reference prints it, here it joins the log line)
+                import optax
+                bb = grads.get('backbone_mod', grads)
+                log_vars['grad_mag'] = optax.global_norm(bb)
             new_batch_stats = aux['batch_stats']
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
