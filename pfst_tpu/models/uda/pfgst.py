@@ -92,10 +92,17 @@ class PFGST(UDADecorator):
     target_self_training = False
 
     def feat_dist_loss(self, params, imnet_params, img, gt, src_feat):
-        """DACS ImageNet feature-distance regulariser
-        (``dacs.py:151-161,204-211``): L2 distance between student and
-        frozen-init backbone features on (optionally) thing-class
-        pixels."""
+        """DACS ImageNet feature-distance regulariser: L2 distance
+        between student and frozen-init backbone features on
+        (optionally) ``imnet_feature_dist_classes`` pixels.
+
+        Note: the reference declares the machinery
+        (``dacs.py:61-63,151-160``, imnet model at ``:80-83``) but its
+        ``forward_train`` never calls ``masked_feat_dist`` — the
+        DAFormer-inherited loss was stripped to dead code.  Here the
+        loss is functional when ``imnet_feature_dist_lambda > 0``
+        (the declared-but-dead ``imnet_feature_dist_scale_min_ratio``
+        knob is accepted and ignored the same way)."""
         model = self.model
         # frozen copy runs train-mode BN (the reference never switches
         # its imnet model to eval), stats discarded
