@@ -65,7 +65,10 @@ def make_sharded_train_step(algo, tx, mean, std, mesh: Mesh,
     - per-replica RNG folds in the axis index so augmentations differ
       across replicas like per-rank torch seeds.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     inner = algo.make_train_step(tx, mean, std, collect_vis=collect_vis,
                                  donate=False, axis_name=DATA_AXIS,
