@@ -65,10 +65,7 @@ def make_sharded_train_step(algo, tx, mean, std, mesh: Mesh,
     - per-replica RNG folds in the axis index so augmentations differ
       across replicas like per-rank torch seeds.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map
 
     inner = algo.make_train_step(tx, mean, std, collect_vis=collect_vis,
                                  donate=False, axis_name=DATA_AXIS,
@@ -81,6 +78,19 @@ def make_sharded_train_step(algo, tx, mean, std, mesh: Mesh,
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P(DATA_AXIS)),
-        check_rep=False)
+        out_specs=(P(), P(), P(DATA_AXIS)))
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map across API generations (check_rep → check_vma)."""
+    import inspect
+    try:
+        fn = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map as fn
+    kw = ('check_vma'
+          if 'check_vma' in inspect.signature(fn).parameters
+          else 'check_rep')
+    return fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+              **{kw: False})

@@ -71,10 +71,9 @@ def sharded_slide_inference(model, variables, scene: jnp.ndarray,
 
             return jax.lax.map(body, wins_local)
 
-        from jax.experimental.shard_map import shard_map
-        return shard_map(one_dev, mesh=mesh, in_specs=P(DATA_AXIS),
-                         out_specs=P(DATA_AXIS),
-                         check_rep=False)(wins)
+        from .mesh import _shard_map
+        return _shard_map(one_dev, mesh=mesh, in_specs=P(DATA_AXIS),
+                          out_specs=P(DATA_AXIS))(wins)
 
     wins_dev = jax.device_put(
         jnp.asarray(windows), NamedSharding(mesh, P(DATA_AXIS)))
