@@ -32,6 +32,52 @@ from ..utils.misc import find_latest_checkpoint
 from .test import single_gpu_test
 
 
+class LazyLogVars(dict):
+    """Mapping over on-device scalar log vars that defers the
+    device→host transfer until a value is actually read.
+
+    Hooks fire every iteration (mmcv cadence) but mostly self-gate on
+    their own ``interval`` without touching values; materializing
+    eagerly would force a device sync per step.
+    """
+
+    def __init__(self, dev_vars):
+        super().__init__()
+        self._dev = dev_vars
+        self._done = False
+
+    def _materialize(self):
+        if not self._done:
+            host = jax.device_get(self._dev)
+            super().update({k: float(v) for k, v in host.items()})
+            self._done = True
+        return self
+
+    def __getitem__(self, k):
+        return dict.__getitem__(self._materialize(), k)
+
+    def __contains__(self, k):
+        return k in self._dev
+
+    def __iter__(self):
+        return iter(self._dev)
+
+    def __len__(self):
+        return len(self._dev)
+
+    def keys(self):
+        return self._dev.keys()
+
+    def items(self):
+        return dict.items(self._materialize())
+
+    def values(self):
+        return dict.values(self._materialize())
+
+    def get(self, k, default=None):
+        return dict.get(self._materialize(), k, default)
+
+
 def init_random_seed(seed: Optional[int] = None) -> int:
     """(``apis/train.py:21-49``) — in JAX the key is deterministic per
     process; multi-host stays in sync because everyone derives the same
@@ -284,26 +330,27 @@ def train_segmentor(cfg,
         device_batch = put(nxt)
         t_data += time.time() - t0
 
+        lazy_vars = LazyLogVars(log_vars)
         if (it + 1) % log_interval == 0:
-            log_vars = jax.device_get(log_vars)
             dt = time.time() - t_last
             msg = ', '.join(f'{k}: {float(v):.4f}'
-                            for k, v in sorted(log_vars.items()))
+                            for k, v in sorted(lazy_vars.items()))
             print_log(
                 f'Iter [{it + 1}/{max_iters}] '
                 f'time: {dt / log_interval:.3f}s '
                 f'data: {t_data / log_interval:.3f}s  {msg}', logger)
             t_last, t_data = time.time(), 0.0
-            try:
-                for h in hooks:
-                    h.after_train_iter(
-                        ctx, log_vars,
-                        vis_states if collect_vis else None)
-            except ValueError as e:
-                # deliberate halt (PseudoLabelingHook*: the reference
-                # stops training the same way after dumping the corpus)
-                print_log(f'training halted by hook: {e}', logger)
-                break
+        # hooks fire EVERY iteration (mmcv cadence) and self-gate on
+        # their own intervals; log-var transfer stays lazy off-interval
+        try:
+            for h in hooks:
+                h.after_train_iter(ctx, lazy_vars,
+                                   vis_states if collect_vis else None)
+        except ValueError as e:
+            # deliberate halt (PseudoLabelingHook*: the reference
+            # stops training the same way after dumping the corpus)
+            print_log(f'training halted by hook: {e}', logger)
+            break
 
         if work_dir and (it + 1) % ckpt_interval == 0:
             save_checkpoint(work_dir, it + 1, jax.device_get(state),
