@@ -59,6 +59,25 @@ def make_state_fn(model, sim_cfg: Optional[dict] = None):
     return states
 
 
+def _finalize_views(model, view_probs, metas, ori_shape):
+    """Undo TTA flips, rescale each view to ``ori_shape``, average and
+    argmax — identical math for the single- and multi-device paths."""
+    acc = None
+    for probs, meta in zip(view_probs, metas):
+        if meta.get('flip', False):
+            dirs = meta.get('flip_direction') or []
+            dirs = dirs if isinstance(dirs, list) else [dirs]
+            for d in dirs:
+                probs = jnp.flip(probs, axis=2 if d == 'horizontal'
+                                 else 1)
+        if tuple(probs.shape[1:3]) != tuple(ori_shape):
+            from ..ops import resize
+            probs = resize(probs, size=ori_shape, mode='bilinear',
+                           align_corners=model.align_corners)
+        acc = probs if acc is None else acc + probs
+    return np.asarray(jnp.argmax(acc, axis=-1)[0])
+
+
 def single_gpu_test(model,
                     variables,
                     data_loader,
@@ -86,23 +105,10 @@ def single_gpu_test(model,
         if not isinstance(imgs, list):
             imgs, metas = [imgs], [metas]
         ori_shape = metas[0]['ori_shape'][:2]
-        acc = None
-        for img, meta in zip(imgs, metas if isinstance(metas, list)
-                             else [metas]):
-            probs = infer(variables, jnp.asarray(img)[None])
-            flip = meta.get('flip', False)
-            if flip:
-                dirs = meta.get('flip_direction') or []
-                dirs = dirs if isinstance(dirs, list) else [dirs]
-                for d in dirs:
-                    probs = jnp.flip(probs, axis=2 if d == 'horizontal'
-                                     else 1)
-            if tuple(probs.shape[1:3]) != tuple(ori_shape):
-                from ..ops import resize
-                probs = resize(probs, size=ori_shape, mode='bilinear',
-                               align_corners=model.align_corners)
-            acc = probs if acc is None else acc + probs
-        pred = np.asarray(jnp.argmax(acc, axis=-1)[0])
+        metas_l = metas if isinstance(metas, list) else [metas]
+        view_probs = [infer(variables, jnp.asarray(img)[None])
+                      for img in imgs]
+        pred = _finalize_views(model, view_probs, metas_l, ori_shape)
         if state_fn is not None:
             st = state_fn(variables, jnp.asarray(imgs[0])[None])
             state_list.append(
@@ -120,13 +126,112 @@ def single_gpu_test(model,
 
 
 def multi_gpu_test(model, variables, data_loader, pre_eval=True,
-                   **kwargs):
-    """Multi-device eval: round-robins images over local devices.
+                   format_only: bool = False, progress: bool = True,
+                   devices=None, **kwargs):
+    """Device-sharded eval (the reference's multi-GPU test,
+    ``apis/test.py:194-287``, redesigned mesh-first).
 
-    The reference gathers with tmpdir/NCCL (``apis/test.py:194-287``);
-    here the per-image histograms are tiny host arrays, so a plain
-    extend suffices — cross-host gathering is the caller's business
-    (jax.process_index()-sharded loaders).
+    Image views are bucketed by input shape; each full bucket of
+    ``n_devices`` views is stacked into one batch, placed with the
+    batch dim sharded over a 1-D ``data`` mesh, and run through ONE
+    jitted inference call — every device computes its view in
+    parallel. Per-image flip-undo/rescale/argmax and the tiny
+    (num_classes,) ``pre_eval`` histograms reuse the single-device
+    code path, so results are identical to ``single_gpu_test``.
+
+    Unlike the reference there is no tmpdir/NCCL result gather: the
+    per-image histograms are tiny host vectors collected directly; a
+    cross-host run shards the dataset by ``jax.process_index()`` in
+    the loader and gathers host-side.
     """
-    return single_gpu_test(model, variables, data_loader,
-                           pre_eval=pre_eval, **kwargs)
+    if kwargs.get('return_states'):
+        # feature-state dumps are a single-device diagnostic path
+        return single_gpu_test(model, variables, data_loader,
+                               pre_eval=pre_eval,
+                               format_only=format_only,
+                               progress=progress, **kwargs)
+    from ..parallel.mesh import batch_sharding, get_mesh
+
+    dataset = data_loader.dataset
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_dev == 1:
+        return single_gpu_test(model, variables, data_loader,
+                               pre_eval=pre_eval,
+                               format_only=format_only,
+                               progress=progress, **kwargs)
+    mesh = get_mesh(devices)
+    sharding = batch_sharding(mesh)
+    infer = make_inference_fn(model)
+    logger = get_root_logger()
+    n = len(dataset)
+    t0 = time.time()
+
+    # Streaming: views are bucketed by input shape and flushed as soon
+    # as a bucket holds one view per device; an image finalizes (and
+    # its probs free) once all its TTA views have been computed.
+    buckets: Dict[tuple, list] = {}        # shape -> [(idx, v, img, meta)]
+    probs_by_item: Dict[tuple, Any] = {}   # (idx, v) -> host probs
+    metas_by_item: Dict[tuple, dict] = {}
+    pending: Dict[int, int] = {}           # idx -> views not yet run
+    view_counts: Dict[int, int] = {}
+    ori_shapes: Dict[int, tuple] = {}
+    result_by_idx: Dict[int, list] = {}
+    flushes = 0
+    done = 0
+
+    def finalize(idx):
+        nonlocal done
+        views = [jnp.asarray(probs_by_item.pop((idx, v)))[None]
+                 for v in range(view_counts[idx])]
+        metas = [metas_by_item.pop((idx, v))
+                 for v in range(view_counts[idx])]
+        pred = _finalize_views(model, views, metas, ori_shapes[idx])
+        result_by_idx[idx] = (dataset.pre_eval(pred, idx) if pre_eval
+                              else [pred])
+        done += 1
+        if progress and done % 50 == 0:
+            rate = done / (time.time() - t0)
+            print_log(f'eval {done}/{n} on {n_dev} devices '
+                      f'({rate:.1f} img/s)', logger)
+
+    def flush(bucket):
+        nonlocal flushes
+        if not bucket:
+            return
+        pad = (-len(bucket)) % n_dev
+        batch_items = bucket + [bucket[-1]] * pad
+        batch = np.stack([im for (_, _, im, _) in batch_items])
+        batch = jax.device_put(jnp.asarray(batch), sharding)
+        probs = np.asarray(infer(variables, batch))
+        flushes += 1
+        for j, (idx, v, _, me) in enumerate(bucket):
+            probs_by_item[(idx, v)] = probs[j]
+            metas_by_item[(idx, v)] = me
+            pending[idx] -= 1
+            if pending[idx] == 0:
+                finalize(idx)
+
+    for idx in range(n):
+        sample = dataset[idx]
+        imgs, metas = sample['img'], sample['img_metas']
+        if not isinstance(imgs, list):
+            imgs, metas = [imgs], [metas]
+        metas = metas if isinstance(metas, list) else [metas]
+        ori_shapes[idx] = metas[0]['ori_shape'][:2]
+        view_counts[idx] = pending[idx] = len(imgs)
+        for v, (im, me) in enumerate(zip(imgs, metas)):
+            im = np.asarray(im)
+            bucket = buckets.setdefault(im.shape, [])
+            bucket.append((idx, v, im, me))
+            if len(bucket) == n_dev:
+                flush(bucket)
+                buckets[im.shape] = []
+    for bucket in buckets.values():
+        flush(bucket)
+    multi_gpu_test.last_num_device_batches = flushes
+
+    results: List[Any] = []
+    for idx in range(n):
+        results.extend(result_by_idx[idx])
+    return results

@@ -395,7 +395,13 @@ def evaluate_during_train(cfg, algo, state, eval_cfg, logger,
     loader = build_dataloader(val_ds, 1, 1, shuffle=False)
     model = algo.get_model()
     variables = algo.student_variables(state)
-    results = single_gpu_test(model, variables, loader, pre_eval=True)
+    if jax.local_device_count() > 1:
+        from .test import multi_gpu_test
+        results = multi_gpu_test(model, variables, loader,
+                                 pre_eval=True)
+    else:
+        results = single_gpu_test(model, variables, loader,
+                                  pre_eval=True)
     metric = eval_cfg.get('metric', 'mIoU')
     res = val_ds.evaluate(results, metric=metric, logger=logger)
     return res

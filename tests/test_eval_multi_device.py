@@ -1,0 +1,105 @@
+"""multi_gpu_test: device-sharded eval must match single_gpu_test
+bit-for-bit while splitting the forward batches across devices
+(reference ``rsiseg/apis/test.py:194-287``)."""
+import os
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from conftest import tiny_model_cfg
+
+IMG_NORM = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True)
+
+
+@pytest.fixture(scope='module')
+def eval_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp('eval_mini')
+    rs = np.random.RandomState(7)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(8):
+        img = rs.randint(0, 255, (40, 40, 3), np.uint8)
+        ann = rs.randint(0, 7, (40, 40)).astype(np.uint8)
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'), img)
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'), ann)
+
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize', **IMG_NORM),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])
+    ]
+    from pfst_tpu.datasets import build_dataloader, build_dataset
+    ds = build_dataset(dict(
+        type='ISPRSDataset', data_root=str(root), img_dir='img_dir/val',
+        ann_dir='ann_dir/val',
+        gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+        pipeline=pipeline, test_mode=True))
+    loader = build_dataloader(ds, 1, 1, shuffle=False)
+
+    from pfst_tpu.models import build_segmentor
+    model = build_segmentor(tiny_model_cfg())
+    import jax.numpy as jnp
+    variables = jax.jit(
+        lambda r, im: model.init({'params': r}, im, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
+    return model, variables, loader, ds
+
+
+def test_multi_device_eval_matches_single(eval_setup):
+    model, variables, loader, ds = eval_setup
+    from pfst_tpu.apis import multi_gpu_test, single_gpu_test
+
+    res_single = single_gpu_test(model, variables, loader,
+                                 pre_eval=True, progress=False)
+    res_multi = multi_gpu_test(model, variables, loader,
+                               pre_eval=True, progress=False)
+    assert len(res_single) == len(res_multi) == 8
+    # identical per-image (intersect, union, pred, label) histograms
+    for a, b in zip(res_single, res_multi):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    m_single = ds.evaluate(res_single, metric='mIoU')
+    m_multi = ds.evaluate(res_multi, metric='mIoU')
+    assert m_single['mIoU'] == m_multi['mIoU']
+    # 8 images over 8 devices -> ONE sharded device batch (vs 8
+    # per-image forwards on the single path)
+    assert multi_gpu_test.last_num_device_batches == 1
+
+
+def test_multi_device_eval_partial_bucket(eval_setup):
+    """Non-multiple-of-n_devices image counts pad the last batch."""
+    model, variables, loader, ds = eval_setup
+    from pfst_tpu.apis import multi_gpu_test, single_gpu_test
+
+    class _Trunc:
+        def __init__(self, ds, n):
+            self.dataset = _TruncDS(ds, n)
+
+    class _TruncDS:
+        def __init__(self, ds, n):
+            self._ds, self._n = ds, n
+            self.pre_eval = ds.pre_eval
+
+        def __len__(self):
+            return self._n
+
+        def __getitem__(self, i):
+            return self._ds[i]
+
+    tl = _Trunc(loader.dataset, 3)
+    res_multi = multi_gpu_test(model, variables, tl, pre_eval=True,
+                               progress=False)
+    res_single = single_gpu_test(model, variables, tl, pre_eval=True,
+                                 progress=False)
+    assert len(res_multi) == len(res_single) == 3
+    for a, b in zip(res_single, res_multi):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -54,7 +54,9 @@ def main(args=None):
 
     from pfst_tpu.utils.set_env import setup_environment
     setup_environment(cfg)
-    from pfst_tpu.apis import single_gpu_test
+    import jax
+
+    from pfst_tpu.apis import multi_gpu_test, single_gpu_test
     from pfst_tpu.core.checkpoint import extract_student, load_checkpoint
     from pfst_tpu.datasets import build_dataloader, build_dataset
     from pfst_tpu.models import build_segmentor
@@ -70,7 +72,9 @@ def main(args=None):
     restored = load_checkpoint(args.checkpoint)
     variables = extract_student(restored)
 
-    results = single_gpu_test(
+    test_fn = multi_gpu_test if jax.local_device_count() > 1 \
+        else single_gpu_test
+    results = test_fn(
         model, variables, loader,
         pre_eval=bool(args.eval) and not args.format_only,
         format_only=args.format_only, out_dir=args.show_dir)
