@@ -52,28 +52,49 @@ class PFSTV4(PFST):
     When the batch carries ``target_img_ori`` plus the geometric-replay
     metas (``rotate_k``, ``flip_vertical``, ``flip_horizontal`` int
     arrays emitted by the loader), the teacher forward runs on the
-    un-augmented image and its logits/features are re-aligned to the
-    augmented frame before pseudo-labeling.
+    un-augmented image and the recorded augmentation is replayed onto
+    the teacher's *outputs* — the logits (scale 1) and the
+    ``feat_level`` feature map (at its stride) — exactly the
+    reference's output-side replay (``pfst_v4.py:250-258``).  Replay
+    on the teacher *input* is NOT equivalent: CNNs are not
+    rot90/flip-equivariant, and the whole point of V4 is that the
+    teacher predicts on the un-rotated view.
     """
 
     supports_split_compile = False
 
-    def forward_train(self, params, batch_stats, ema_params,
-                      ema_batch_stats, step, batch, rng, mean, std,
-                      collect_vis=False, imnet_params=None,
-                      premix=None):
-        if 'target_img_ori' in batch:
+    def __init__(self, **cfg):
+        super().__init__(**cfg)
+        # reference default (``pfst_v4.py:75``)
+        self.feat_level = cfg.get('feat_level', 2)
+
+    def teacher_and_mix(self, ema_params, ema_batch_stats, batch, rng,
+                        mean, std, teacher_out=None):
+        if teacher_out is None and 'target_img_ori' in batch:
             from ..utils.pfst_transforms import transform_by_metas
-            batch = dict(batch)
             ori = batch['target_img_ori']
             metas = {k: batch[k] for k in
                      ('rotate_k', 'flip_vertical', 'flip_horizontal')
                      if k in batch}
-            # teacher consumes the clean view; student mixing still uses
-            # the augmented views. We pre-transform the clean view into
-            # the augmented frame so the base step stays unchanged.
-            batch['target_img'] = transform_by_metas(ori, metas)
-        return super().forward_train(
-            params, batch_stats, ema_params, ema_batch_stats, step,
-            batch, rng, mean, std, collect_vis=collect_vis,
-            imnet_params=imnet_params, premix=premix)
+            ema_logits, ema_feats = self.teacher_forward(
+                ema_params, ema_batch_stats, ori)
+            img_h = ori.shape[1]
+            ema_logits = transform_by_metas(ema_logits, metas,
+                                            scale=1.0)
+            if isinstance(ema_feats, (tuple, list)):
+                # only the similarity-loss level is re-aligned, like
+                # the reference (``pfst_v4.py:258``)
+                lvl = self.feat_level
+                feats = list(ema_feats)
+                feats[lvl] = transform_by_metas(
+                    feats[lvl], metas,
+                    scale=feats[lvl].shape[1] / img_h)
+                ema_feats = tuple(feats)
+            else:
+                ema_feats = transform_by_metas(
+                    ema_feats, metas,
+                    scale=ema_feats.shape[1] / img_h)
+            teacher_out = (ema_logits, ema_feats)
+        return super().teacher_and_mix(
+            ema_params, ema_batch_stats, batch, rng, mean, std,
+            teacher_out=teacher_out)

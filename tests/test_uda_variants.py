@@ -144,6 +144,64 @@ def test_split_compile_matches_fused():
     assert max(jax.tree.leaves(d)) < 1e-6
 
 
+def test_pfstv4_output_side_replay():
+    """PFSTV4 must replay the geometric metas onto the teacher's
+    OUTPUTS (``pfst_v4.py:250-258``), not its input: CNNs are not
+    rot90/flip-equivariant, so the two differ."""
+    from pfst_tpu.models.utils.pfst_transforms import transform_by_metas
+
+    cfg = _uda_cfg('PFSTV4', aux_losses=AUX3)
+    algo = build_train_model(cfg)
+    tx = optax.adamw(1e-3)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+
+    b = dict(_batch())
+    metas = dict(rotate_k=jnp.asarray([1, 2], jnp.int32),
+                 flip_horizontal=jnp.asarray([1, 0], jnp.int32),
+                 flip_vertical=jnp.asarray([0, 1], jnp.int32))
+    ori = b['target_img']
+    b['target_img'] = transform_by_metas(ori, metas, scale=1.0)
+    b['target_img_strong_aug'] = b['target_img']
+    b['target_img_ori'] = ori
+    b.update(metas)
+
+    premix = algo.teacher_and_mix(
+        state.ema_params, state.ema_batch_stats, b,
+        jax.random.PRNGKey(1), jnp.asarray(MEAN), jnp.asarray(STD))
+
+    # shipped semantics: teacher on the clean view, outputs re-aligned
+    logits_clean, feats_clean = algo.teacher_forward(
+        state.ema_params, state.ema_batch_stats, ori)
+    want_logits = transform_by_metas(logits_clean, metas, scale=1.0)
+    np.testing.assert_allclose(np.asarray(premix['ema_logits']),
+                               np.asarray(want_logits),
+                               rtol=1e-5, atol=1e-6)
+    lvl = algo.feat_level
+    want_feat = transform_by_metas(
+        feats_clean[lvl], metas,
+        scale=feats_clean[lvl].shape[1] / ori.shape[1])
+    # teacher_and_mix returns ema_feats stop-gradient'ed; compare level
+    got = premix['ema_feats'][lvl]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_feat),
+                               rtol=1e-5, atol=1e-6)
+
+    # input-side replay (teacher on the pre-rotated image) is NOT
+    # equivalent — the round-1 implementation was wrong
+    logits_input_side, _ = algo.teacher_forward(
+        state.ema_params, state.ema_batch_stats, b['target_img'])
+    diff = np.abs(np.asarray(logits_input_side) -
+                  np.asarray(want_logits)).max()
+    scale = np.abs(np.asarray(want_logits)).max()
+    assert diff > 1e-3 * scale, (
+        f'toy model unexpectedly equivariant (diff={diff})')
+
+    # the fused train step runs end-to-end with the V4 batch keys
+    step = algo.make_train_step(tx, MEAN, STD, donate=False)
+    state2, log_vars, _ = step(state, b, jax.random.PRNGKey(2))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(log_vars['loss']))
+
+
 def test_fmda_adaptor_sim_feat_step():
     """FMDAAdaptor: joint src+trg CE + loss_sim_feat over precomputed
     neighborhood-similarity maps in the batch (fmda_adaptor.py:190-)."""
