@@ -11,7 +11,8 @@ from .swin import SwinTransformer
 from .timm_backbone import TIMMBackbone
 from .twins import PCPVT, SVT
 from .unet import UNet
-from .vit import BEiT, MAE, VisionTransformer
+from .beit import BEiT, MAE
+from .vit import VisionTransformer
 
 __all__ = [
     'ResNet', 'ResNetV1c', 'ResNetV1d', 'ResNeXt', 'MobileNetV2',

@@ -39,7 +39,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=self.dtype, name='dwconv')(x)
         x = nn.LayerNorm(dtype=self.dtype, name='norm')(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name='pwconv1')(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name='pwconv2')(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

@@ -70,7 +70,7 @@ class MixFFN(nn.Module):
         xr = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
                      feature_group_count=hidden, dtype=self.dtype,
                      name='dwconv')(xr)
-        x = nn.gelu(xr.reshape(b, n, hidden))
+        x = nn.gelu(xr.reshape(b, n, hidden), approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name='fc2')(x)
 
 

@@ -117,7 +117,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
         hdim = self.dim * self.mlp_ratio
         y = nn.Dense(hdim, dtype=self.dtype, name='fc1')(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name='fc2')(y)
         return x + y
 

@@ -43,7 +43,7 @@ class ViTBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      name='fc1')(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name='fc2')(y)
         return x + y
 
@@ -108,13 +108,5 @@ class VisionTransformer(nn.Module):
         return tuple(outs)
 
 
-@BACKBONES.register_module()
-class BEiT(VisionTransformer):
-    """BEiT variant (``backbones/beit.py``): same forward surface; the
-    relative-position-bias pretrain detail is absorbed by conversion."""
-    with_cls_token: bool = True
-
-
-@BACKBONES.register_module()
-class MAE(BEiT):
-    """MAE-pretrained ViT (``backbones/mae.py``)."""
+# BEiT / MAE are faithful implementations in ``beit.py`` (relative
+# position bias, layer scale, q/v bias) — no longer ViT aliases.

@@ -150,7 +150,7 @@ class SegmenterMaskTransformerHead(nn.Module):
                                      o.astype(self.dtype))
             y = nn.LayerNorm(dtype=self.dtype, name=f'norm2_{li}')(seq)
             y = nn.Dense(d * 4, dtype=self.dtype, name=f'fc1_{li}')(y)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=False)
             seq = seq + nn.Dense(d, dtype=self.dtype,
                                  name=f'fc2_{li}')(y)
         seq = nn.LayerNorm(dtype=self.dtype, name='norm_out')(seq)

@@ -169,6 +169,371 @@ def convert_state_dict(state_dict, prefix=''):
     return params, batch_stats, skipped
 
 
+# ------------------------------------------------------------------ #
+# Transformer backbones.  Replaces the reference's
+# ``tools/model_converters/{beit,mit,swin,vit}2mmseg.py`` (official ->
+# mmseg renames) and adds the mmseg-torch -> flax layout translation.
+
+def _t(a):
+    """torch Linear weight (out, in) -> Dense kernel (in, out)."""
+    return a.transpose(1, 0)
+
+
+def _c(a):
+    """torch conv OIHW -> flax HWIO."""
+    return a.transpose(2, 3, 1, 0)
+
+
+def _ln(leaf):
+    return {'weight': 'scale', 'bias': 'bias'}.get(leaf)
+
+
+def official_to_mmseg(sd, arch):
+    """Official-release key names -> mmseg names (the rename pass of
+    the reference ``*2mmseg.py`` converters)."""
+    out = {}
+    if arch == 'mit':
+        # mit2mmseg.py: blockN/patch_embedN/normN -> layers.{N-1}.{1,0,2}
+        for k, v in sd.items():
+            if k.startswith('head'):
+                continue
+            m = re.match(r'patch_embed(\d+)\.(.*)', k)
+            if m:
+                rest = m.group(2).replace('proj.', 'projection.')
+                out[f'layers.{int(m.group(1)) - 1}.0.{rest}'] = v
+                continue
+            m = re.match(r'block(\d+)\.(\d+)\.(.*)', k)
+            if m:
+                s, b, rest = int(m.group(1)) - 1, m.group(2), m.group(3)
+                if rest.startswith('attn.q.'):
+                    kv = sd[k.replace('.q.', '.kv.')]
+                    import numpy as _np
+                    v = _np.concatenate(
+                        [_np.asarray(v), _np.asarray(kv)], axis=0)
+                    rest = rest.replace('attn.q.', 'attn.attn.in_proj_')
+                elif rest.startswith('attn.kv.'):
+                    continue
+                elif rest.startswith('attn.proj.'):
+                    rest = rest.replace('attn.proj.',
+                                        'attn.attn.out_proj.')
+                elif rest.startswith('mlp.'):
+                    rest = rest.replace('mlp.fc1.', 'ffn.layers.0.') \
+                               .replace('mlp.dwconv.dwconv.',
+                                        'ffn.layers.1.') \
+                               .replace('mlp.fc2.', 'ffn.layers.4.')
+                out[f'layers.{s}.1.{b}.{rest}'] = v
+                continue
+            m = re.match(r'norm(\d+)\.(.*)', k)
+            if m:
+                out[f'layers.{int(m.group(1)) - 1}.2.{m.group(2)}'] = v
+                continue
+            out[k] = v
+        return out
+    if arch in ('beit', 'vit'):
+        for k, v in sd.items():
+            nk = k.replace('patch_embed.proj', 'patch_embed.projection')
+            if nk.startswith('blocks'):
+                nk = nk.replace('blocks', 'layers')
+                if arch == 'vit':
+                    # vit2mmseg.py attention renames
+                    nk = nk.replace('attn.qkv.', 'attn.attn.in_proj_') \
+                           .replace('attn.proj.', 'attn.attn.out_proj.')
+                nk = nk.replace('.norm', '.ln') \
+                       .replace('mlp.fc1', 'ffn.layers.0.0') \
+                       .replace('mlp.fc2', 'ffn.layers.1')
+            elif nk == 'norm.weight':
+                nk = 'ln1.weight'
+            elif nk == 'norm.bias':
+                nk = 'ln1.bias'
+            out[nk] = v
+        return out
+    if arch == 'swin':
+        for k, v in sd.items():
+            if k.startswith('head'):
+                continue
+            nk = k.replace('patch_embed.proj', 'patch_embed.projection')
+            if nk.startswith('layers'):
+                nk = 'stages' + nk[len('layers'):]
+                nk = nk.replace('.attn.', '.attn.w_msa.') \
+                       .replace('mlp.fc1', 'ffn.layers.0.0') \
+                       .replace('mlp.fc2', 'ffn.layers.1')
+            out[nk] = v
+        return out
+    return dict(sd)
+
+
+def transformer_key_to_flax(key, arr, arch):
+    """One mmseg-named backbone tensor -> [(collection, path, array)].
+
+    Returns None for unknown keys, [] for deliberately dropped buffers
+    (``relative_position_index`` is recomputed statically here).
+    """
+    import numpy as np
+    base = ['backbone_mod']
+    if 'relative_position_index' in key or 'attn_mask' in key:
+        return []
+    if arch in ('beit', 'mae'):
+        if key == 'cls_token' or key == 'pos_embed':
+            return [('params', base + [key], arr)]
+        if key.startswith('patch_embed.projection.'):
+            leaf = key.rsplit('.', 1)[1]
+            a = _c(arr) if leaf == 'weight' else arr
+            return [('params', base + ['patch_embed',
+                                       'kernel' if leaf == 'weight'
+                                       else 'bias'], a)]
+        m = re.match(r'ln1\.(weight|bias)$', key)
+        if m:  # final norm (beit.py:345-347)
+            return [('params', base + ['norm1', _ln(m.group(1))], arr)]
+        m = re.match(r'layers\.(\d+)\.(.*)', key)
+        if not m:
+            return None
+        blk = [f'layers_{m.group(1)}']
+        rest = m.group(2)
+        for ln, ours in (('ln1', 'norm1'), ('ln2', 'norm2')):
+            mm = re.match(rf'{ln}\.(weight|bias)$', rest)
+            if mm:
+                return [('params', base + blk + [ours,
+                                                 _ln(mm.group(1))],
+                         arr)]
+        if rest in ('gamma_1', 'gamma_2'):
+            return [('params', base + blk + [rest], arr)]
+        if rest in ('attn.q_bias', 'attn.v_bias'):
+            return [('params', base + blk + ['attn',
+                                             rest.split('.')[1]], arr)]
+        if rest == 'attn.relative_position_bias_table':
+            return [('params', base + blk +
+                     ['attn', 'relative_position_bias_table'], arr)]
+        mm = re.match(r'attn\.(qkv|proj)\.(weight|bias)$', rest)
+        if mm:
+            a = _t(arr) if mm.group(2) == 'weight' else arr
+            return [('params', base + blk + ['attn', mm.group(1),
+                                             'kernel'
+                                             if mm.group(2) == 'weight'
+                                             else 'bias'], a)]
+        mm = re.match(r'ffn\.layers\.(0\.0|1)\.(weight|bias)$', rest)
+        if mm:
+            fc = 'fc1' if mm.group(1) == '0.0' else 'fc2'
+            a = _t(arr) if mm.group(2) == 'weight' else arr
+            return [('params', base + blk + [fc,
+                                             'kernel'
+                                             if mm.group(2) == 'weight'
+                                             else 'bias'], a)]
+        return None
+    if arch == 'vit':
+        if key in ('cls_token', 'pos_embed'):
+            return [('params', base + [key], arr)]
+        if key.startswith('patch_embed.projection.'):
+            leaf = key.rsplit('.', 1)[1]
+            a = _c(arr) if leaf == 'weight' else arr
+            return [('params', base + ['patch_embed',
+                                       'kernel' if leaf == 'weight'
+                                       else 'bias'], a)]
+        m = re.match(r'ln1\.(weight|bias)$', key)
+        if m:
+            return [('params', base + ['final_norm', _ln(m.group(1))],
+                     arr)]
+        m = re.match(r'layers\.(\d+)\.(.*)', key)
+        if not m:
+            return None
+        blk = [f'block{m.group(1)}']
+        rest = m.group(2)
+        for ln, ours in (('ln1', 'norm1'), ('ln2', 'norm2')):
+            mm = re.match(rf'{ln}\.(weight|bias)$', rest)
+            if mm:
+                return [('params', base + blk + [ours,
+                                                 _ln(mm.group(1))],
+                         arr)]
+        if rest == 'attn.attn.in_proj_weight':
+            return [('params', base + blk + ['qkv', 'kernel'], _t(arr))]
+        if rest == 'attn.attn.in_proj_bias':
+            return [('params', base + blk + ['qkv', 'bias'], arr)]
+        mm = re.match(r'attn\.attn\.out_proj\.(weight|bias)$', rest)
+        if mm:
+            a = _t(arr) if mm.group(1) == 'weight' else arr
+            return [('params', base + blk + ['proj',
+                                             'kernel'
+                                             if mm.group(1) == 'weight'
+                                             else 'bias'], a)]
+        mm = re.match(r'ffn\.layers\.(0\.0|1)\.(weight|bias)$', rest)
+        if mm:
+            fc = 'fc1' if mm.group(1) == '0.0' else 'fc2'
+            a = _t(arr) if mm.group(2) == 'weight' else arr
+            return [('params', base + blk + [fc,
+                                             'kernel'
+                                             if mm.group(2) == 'weight'
+                                             else 'bias'], a)]
+        return None
+    if arch == 'swin':
+        if key.startswith('patch_embed.projection.'):
+            leaf = key.rsplit('.', 1)[1]
+            a = _c(arr) if leaf == 'weight' else arr
+            return [('params', base + ['patch_embed',
+                                       'kernel' if leaf == 'weight'
+                                       else 'bias'], a)]
+        m = re.match(r'patch_embed\.norm\.(weight|bias)$', key)
+        if m:
+            return [('params', base + ['patch_norm', _ln(m.group(1))],
+                     arr)]
+        m = re.match(r'norm(\d+)\.(weight|bias)$', key)
+        if m:
+            return [('params', base + [f'out_norm{m.group(1)}',
+                                       _ln(m.group(2))], arr)]
+        m = re.match(r'stages\.(\d+)\.downsample\.norm\.(weight|bias)$',
+                     key)
+        if m:
+            return [('params', base + [f'merge_norm{int(m.group(1)) + 1}',
+                                       _ln(m.group(2))], arr)]
+        m = re.match(r'stages\.(\d+)\.downsample\.reduction\.weight$',
+                     key)
+        if m:
+            return [('params', base + [f'merge_reduce{int(m.group(1)) + 1}',
+                                       'kernel'], _t(arr))]
+        m = re.match(r'stages\.(\d+)\.blocks\.(\d+)\.(.*)', key)
+        if not m:
+            return None
+        blk = [f'stage{m.group(1)}_block{m.group(2)}']
+        rest = m.group(3)
+        mm = re.match(r'norm([12])\.(weight|bias)$', rest)
+        if mm:
+            return [('params', base + blk + [f'norm{mm.group(1)}',
+                                             _ln(mm.group(2))], arr)]
+        if rest == 'attn.w_msa.relative_position_bias_table':
+            return [('params', base + blk +
+                     ['attn', 'relative_position_bias_table'], arr)]
+        mm = re.match(r'attn\.w_msa\.(qkv|proj)\.(weight|bias)$', rest)
+        if mm:
+            a = _t(arr) if mm.group(2) == 'weight' else arr
+            return [('params', base + blk + ['attn', mm.group(1),
+                                             'kernel'
+                                             if mm.group(2) == 'weight'
+                                             else 'bias'], a)]
+        mm = re.match(r'ffn\.layers\.(0\.0|1)\.(weight|bias)$', rest)
+        if mm:
+            fc = 'fc1' if mm.group(1) == '0.0' else 'fc2'
+            a = _t(arr) if mm.group(2) == 'weight' else arr
+            return [('params', base + blk + [fc,
+                                             'kernel'
+                                             if mm.group(2) == 'weight'
+                                             else 'bias'], a)]
+        return None
+    if arch == 'mit':
+        m = re.match(r'layers\.(\d+)\.0\.projection\.(weight|bias)$',
+                     key)
+        if m:
+            a = _c(arr) if m.group(2) == 'weight' else arr
+            return [('params', base + [f'patch_embed{m.group(1)}',
+                                       'kernel'
+                                       if m.group(2) == 'weight'
+                                       else 'bias'], a)]
+        m = re.match(r'layers\.(\d+)\.0\.norm\.(weight|bias)$', key)
+        if m:
+            return [('params', base + [f'embed_norm{m.group(1)}',
+                                       _ln(m.group(2))], arr)]
+        m = re.match(r'layers\.(\d+)\.2\.(weight|bias)$', key)
+        if m:
+            return [('params', base + [f'stage_norm{m.group(1)}',
+                                       _ln(m.group(2))], arr)]
+        m = re.match(r'layers\.(\d+)\.1\.(\d+)\.(.*)', key)
+        if not m:
+            return None
+        blk = [f'stage{m.group(1)}_block{m.group(2)}']
+        rest = m.group(3)
+        mm = re.match(r'norm([12])\.(weight|bias)$', rest)
+        if mm:
+            return [('params', base + blk + [f'norm{mm.group(1)}',
+                                             _ln(mm.group(2))], arr)]
+        if rest in ('attn.attn.in_proj_weight', 'attn.attn.in_proj_bias'):
+            c = arr.shape[0] // 3
+            leaf = 'kernel' if rest.endswith('weight') else 'bias'
+            chunks = [arr[:c], arr[c:2 * c], arr[2 * c:]]
+            if leaf == 'kernel':
+                chunks = [_t(a) for a in chunks]
+            return [('params', base + blk + ['attn', n, leaf], a)
+                    for n, a in zip(('q', 'k', 'v'), chunks)]
+        mm = re.match(r'attn\.attn\.out_proj\.(weight|bias)$', rest)
+        if mm:
+            a = _t(arr) if mm.group(1) == 'weight' else arr
+            return [('params', base + blk + ['attn', 'proj',
+                                             'kernel'
+                                             if mm.group(1) == 'weight'
+                                             else 'bias'], a)]
+        mm = re.match(r'attn\.sr\.(weight|bias)$', rest)
+        if mm:
+            a = _c(arr) if mm.group(1) == 'weight' else arr
+            return [('params', base + blk + ['attn', 'sr',
+                                             'kernel'
+                                             if mm.group(1) == 'weight'
+                                             else 'bias'], a)]
+        mm = re.match(r'attn\.norm\.(weight|bias)$', rest)
+        if mm:
+            return [('params', base + blk + ['attn', 'sr_norm',
+                                             _ln(mm.group(1))], arr)]
+        # MixFFN Sequential: 0 = fc1 (1x1 conv), 1 = dw conv, 4 = fc2
+        mm = re.match(r'ffn\.layers\.([014])\.(weight|bias)$', rest)
+        if mm:
+            idx, leaf = mm.group(1), mm.group(2)
+            name = {'0': 'fc1', '1': 'dwconv', '4': 'fc2'}[idx]
+            a = arr
+            if leaf == 'weight':
+                if idx in ('0', '4'):      # 1x1 conv -> Dense kernel
+                    a = _t(arr[..., 0, 0]) if arr.ndim == 4 else _t(arr)
+                else:                       # depthwise 3x3
+                    a = _c(arr)
+            return [('params', base + blk + ['ffn', name,
+                                             'kernel'
+                                             if leaf == 'weight'
+                                             else 'bias'], a)]
+        return None
+    return None
+
+
+TRANSFORMER_ARCHS = {
+    'BEiT': 'beit', 'MAE': 'beit', 'VisionTransformer': 'vit',
+    'SwinTransformer': 'swin', 'MixVisionTransformer': 'mit',
+}
+
+
+def convert_transformer_state_dict(state_dict, arch, prefix=''):
+    """mmseg/official transformer checkpoint -> flax trees."""
+    sd = {}
+    for key, value in state_dict.items():
+        k = key
+        for strip in ('module.', prefix):
+            if strip and k.startswith(strip):
+                k = k[len(strip):]
+        sd[k] = value
+    bare = {k[len('backbone.'):] if k.startswith('backbone.') else k: v
+            for k, v in sd.items() if not k.startswith(
+                ('decode_head.', 'auxiliary_head.', 'neck.'))}
+    official = not any(k.startswith(('layers.', 'stages.')) or
+                       'ffn.layers' in k for k in bare)
+    if official:
+        bare = official_to_mmseg(bare, arch)
+    params, batch_stats, skipped = {}, {}, []
+    for key, value in bare.items():
+        arr = value.detach().cpu().numpy() if hasattr(value, 'detach') \
+            else np.asarray(value)
+        entries = transformer_key_to_flax(key, arr, arch)
+        if entries is None:
+            skipped.append(key)
+            continue
+        for coll, path, a in entries:
+            _set(params if coll == 'params' else batch_stats, path, a)
+    # head keys go through the generic mapper
+    for key, value in sd.items():
+        if key.startswith(('decode_head.', 'auxiliary_head.')):
+            mapped = torch_key_to_flax(key)
+            if mapped is None:
+                skipped.append(key)
+                continue
+            coll, path = mapped
+            arr = value.detach().cpu().numpy()
+            if path[-1] == 'kernel' and arr.ndim == 4:
+                arr = _c(arr)
+            _set(params if coll == 'params' else batch_stats, path, arr)
+    return params, batch_stats, skipped
+
+
 def main(args=None):
     args = parse_args(args)
     import torch
@@ -188,20 +553,30 @@ def main(args=None):
     if has_uda_prefix:
         state_dict = {k: v for k, v in state_dict.items()
                       if prefix in k}
-    params, batch_stats, skipped = convert_state_dict(
-        state_dict, prefix if has_uda_prefix else '')
+    cfg = Config.fromfile(args.config)
+    arch = TRANSFORMER_ARCHS.get(cfg.model['backbone']['type'])
+    if arch is not None:
+        params, batch_stats, skipped = convert_transformer_state_dict(
+            state_dict, arch, prefix if has_uda_prefix else '')
+    else:
+        params, batch_stats, skipped = convert_state_dict(
+            state_dict, prefix if has_uda_prefix else '')
     print(f'converted {sum(1 for _ in _leaves(params))} param tensors, '
           f'{len(skipped)} keys skipped')
     if skipped:
         print('skipped (first 10):', skipped[:10])
 
-    cfg = Config.fromfile(args.config)
     model_cfg = dict(cfg.model)
     model_cfg['pretrained'] = None
     model_cfg.pop('train_cfg', None)
     model = build_segmentor(model_cfg)
+    init_hw = (64, 64)
+    if arch == 'beit':
+        # BEiT/MAE rel-pos tables require the configured patch grid
+        s = cfg.model['backbone'].get('img_size', 224)
+        init_hw = (s, s) if isinstance(s, int) else tuple(s)
     ref = model.init({'params': jax.random.PRNGKey(0)},
-                     jnp.zeros((1, 64, 64, 3)), train=False)
+                     jnp.zeros((1, *init_hw, 3)), train=False)
 
     merged_p = _merge(jax.device_get(ref['params']), params,
                       'params')
