@@ -2,25 +2,42 @@
 ``rsiseg/models/decode_heads/{point_head, stdc_head, dpt_head,
 knet_head}.py``).
 
-PointRend here keeps the dense-logits head interface of this
-framework: a coarse prediction is refined at the top-N most uncertain
-positions by the shared point MLP (fine + coarse features) and
-scattered back — the same architecture expressed with static-shape
-top-k instead of host-side random point sampling.
+Architecture-faithful implementations (round-2 upgrades):
+
+* **PointRendHead** — train-time importance point sampling with
+  oversample/importance ratios and a dedicated point loss on sampled
+  coordinates (``point_head.py:270-323`` ``get_points_train`` +
+  ``:174-209`` ``forward_train``); test-time refinement replaces the
+  coarse logits at the top-N most-uncertain grid points
+  (``get_points_test``) with a static-shape top-k.
+* **STDCHead** — laplacian-pyramid boundary-target generation
+  (``stdc_head.py:24-90``): 3 laplacian convs at stride 1/2/4,
+  nearest-upsample, fixed (0.6, 0.3, 0.1) fusion, binary threshold.
+* **IterativeDecodeHead / KernelUpdateHead / KernelUpdator** — the
+  K-Net stack (``knet_head.py:16-453``): feature-gated dynamic-kernel
+  update (Eq. 4/5), multi-head attention BETWEEN kernels, FFN, mask
+  FCs, per-stage losses.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops import resize
-from ..builder import HEADS
+from ...ops import point_sample, resize
+from ..builder import HEADS, build_head
 from ..utils.layers import ConvModule
 from .base import ClsSeg, transform_inputs
 from .fcn_head import FCNHead
+
+
+def calculate_uncertainty(logits):
+    """-(top1 - top2) margin (``point_head.py:24-41``); (B,...,K) ->
+    (B,...)."""
+    top2 = jax.lax.top_k(logits, 2)[0]
+    return -(top2[..., 0] - top2[..., 1])
 
 
 @HEADS.register_module()
@@ -30,6 +47,8 @@ class PointRendHead(nn.Module):
     num_classes: int = 19
     num_fcs: int = 3
     num_points: int = 2048
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
     coarse_pred_each_layer: bool = True
     dropout_ratio: float = 0.1
     in_index: Union[int, Sequence[int]] = (0,)
@@ -42,53 +61,127 @@ class PointRendHead(nn.Module):
     sampler: Optional[dict] = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, inputs, train: bool = False):
+    def setup(self):
+        self.coarse_conv = ConvModule(self.channels, 3, padding=1,
+                                      norm_cfg=self.norm_cfg,
+                                      dtype=self.dtype,
+                                      name='coarse_conv')
+        self.coarse_cls = ClsSeg(self.num_classes, self.dropout_ratio,
+                                 dtype=self.dtype, name='coarse_cls')
+        self.fcs = [nn.Dense(self.channels, dtype=self.dtype,
+                             name=f'fc{i}')
+                    for i in range(self.num_fcs)]
+        self.point_cls = nn.Dense(self.num_classes, dtype=self.dtype,
+                                  name='point_cls')
+
+    def _coarse(self, inputs, train):
         fine = [inputs[i] for i in self.in_index][0]
-        b, h, w, cf = fine.shape
-        # coarse prediction from the fine features
-        coarse = ConvModule(self.channels, 3, padding=1,
-                            norm_cfg=self.norm_cfg, dtype=self.dtype,
-                            name='coarse_conv')(fine, train=train)
-        coarse_logits = ClsSeg(self.num_classes, self.dropout_ratio,
-                               dtype=self.dtype,
-                               name='coarse_cls')(coarse, train=train)
-        # uncertainty = -|top1 - top2|
-        top2 = jax.lax.top_k(coarse_logits, 2)[0]
-        uncertainty = -(top2[..., 0] - top2[..., 1])    # (B,H,W)
+        feats = self.coarse_conv(fine, train=train)
+        logits = self.coarse_cls(feats, train=train)
+        return fine, feats, logits
+
+    def _point_mlp(self, fine_pts, coarse_pts):
+        """Shared point MLP (``point_head.py:107-122``)."""
+        y = jnp.concatenate([fine_pts, coarse_pts], axis=-1)
+        for fc in self.fcs:
+            y = nn.relu(fc(y))
+            if self.coarse_pred_each_layer:
+                y = jnp.concatenate([y, coarse_pts], axis=-1)
+        return self.point_cls(y)
+
+    def __call__(self, inputs, train: bool = False):
+        fine, feats, coarse_logits = self._coarse(inputs, train)
+        if train:
+            # training uses the coarse dense loss + the sampled point
+            # loss (``point_head.py:174-209``); no dense refinement
+            return coarse_logits, feats
+        # ---- test-time refinement (``get_points_test``) ------------
+        b, h, w, k = coarse_logits.shape
         n_pts = min(self.num_points, h * w)
-        flat_u = uncertainty.reshape(b, h * w)
-        _, idx = jax.lax.top_k(flat_u, n_pts)           # (B,N)
+        unc = calculate_uncertainty(coarse_logits).reshape(b, h * w)
+        _, idx = jax.lax.top_k(unc, n_pts)
 
         def gather_pts(feat):
             return jnp.take_along_axis(
-                feat.reshape(b, h * w, feat.shape[-1]), idx[..., None],
-                axis=1)
+                feat.reshape(b, h * w, feat.shape[-1]),
+                idx[..., None], axis=1)
 
-        pt_feats = jnp.concatenate(
-            [gather_pts(fine), gather_pts(coarse_logits)], axis=-1)
-        y = pt_feats
-        for i in range(self.num_fcs):
-            y = nn.Dense(self.channels, dtype=self.dtype,
-                         name=f'fc{i}')(y)
-            y = nn.relu(y)
-            if self.coarse_pred_each_layer:
-                y = jnp.concatenate([y, gather_pts(coarse_logits)],
-                                    axis=-1)
-        pt_logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                             name='point_cls')(y)     # (B,N,C)
-        refined = coarse_logits.reshape(b, h * w, self.num_classes)
+        pt_logits = self._point_mlp(gather_pts(fine),
+                                    gather_pts(coarse_logits))
+        refined = coarse_logits.reshape(b, h * w, k)
         refined = jax.vmap(
             lambda r, i, p: r.at[i].set(p))(refined, idx, pt_logits)
-        logits = refined.reshape(b, h, w, self.num_classes)
-        return logits, coarse
+        return refined.reshape(b, h, w, k), feats
+
+    def point_losses(self, inputs, gt) -> Tuple[jnp.ndarray,
+                                                jnp.ndarray]:
+        """Importance-sample train points and return
+        (point_logits (B,N,K), point_label (B,N)) for the point loss
+        (``get_points_train``, ``point_head.py:270-323``)."""
+        fine, _, coarse_logits = self._coarse(inputs, True)
+        b = coarse_logits.shape[0]
+        rng = self.make_rng('dropout')
+        k1, k2 = jax.random.split(rng)
+        num_sampled = int(self.num_points * self.oversample_ratio)
+        coords = jax.random.uniform(k1, (b, num_sampled, 2))
+        # uncertainty of the SAMPLED logits, not sampled uncertainty
+        # (the reference comment explains why; point_head.py:300-309)
+        pt_logits = point_sample(coarse_logits, coords,
+                                 align_corners=self.align_corners)
+        unc = calculate_uncertainty(pt_logits)
+        n_unc = int(self.importance_sample_ratio * self.num_points)
+        _, idx = jax.lax.top_k(unc, n_unc)
+        coords_unc = jnp.take_along_axis(
+            coords, idx[..., None], axis=1)
+        n_rand = self.num_points - n_unc
+        if n_rand > 0:
+            rand = jax.random.uniform(k2, (b, n_rand, 2))
+            coords = jnp.concatenate([coords_unc, rand], axis=1)
+        else:
+            coords = coords_unc
+        fine_pts = point_sample(fine, coords,
+                                align_corners=self.align_corners)
+        coarse_pts = point_sample(coarse_logits, coords,
+                                  align_corners=self.align_corners)
+        point_logits = self._point_mlp(fine_pts, coarse_pts)
+        point_label = point_sample(
+            gt.astype(jnp.float32)[..., None], coords, mode='nearest',
+            align_corners=self.align_corners)[..., 0]
+        return point_logits, point_label.astype(jnp.int32)
 
 
 @HEADS.register_module()
 class STDCHead(FCNHead):
-    """STDC detail-guidance head (``stdc_head.py``): an FCN head whose
-    loss target is the boundary map; the boundary extraction (laplacian
-    of the gt) is applied by the config's loss (BCE+Dice)."""
+    """STDC detail-guidance head (``stdc_head.py:10-90``): an FCN head
+    trained against laplacian-pyramid boundary targets derived from the
+    gt on device."""
+
+    boundary_threshold: float = 0.1
+
+    def transform_targets(self, seg_label):
+        """gt (B,H,W) int -> binary boundary target (B,H,W) int32
+        (``stdc_head.py:34-87``)."""
+        lap = jnp.asarray([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]],
+                          jnp.float32).reshape(3, 3, 1, 1)
+        x = seg_label.astype(jnp.float32)[..., None]
+
+        def conv(inp, stride):
+            return jax.lax.conv_general_dilated(
+                inp, lap, (stride, stride), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        thr = self.boundary_threshold
+        t1 = jnp.clip(conv(x, 1), 0, None)
+        t1 = (t1 > thr).astype(jnp.float32)
+        t2 = jnp.clip(conv(x, 2), 0, None)
+        t4 = jnp.clip(conv(x, 4), 0, None)
+        t2 = resize(t2, size=t1.shape[1:3], mode='nearest')
+        t4 = resize(t4, size=t1.shape[1:3], mode='nearest')
+        t2 = (t2 > thr).astype(jnp.float32)
+        t4 = (t4 > thr).astype(jnp.float32)
+        # fixed fusion weights 6/10, 3/10, 1/10 (``stdc_head.py:30-32``)
+        fused = 0.6 * t1 + 0.3 * t2 + 0.1 * t4
+        return (fused[..., 0] > thr).astype(jnp.int32)
 
 
 @HEADS.register_module()
@@ -148,14 +241,183 @@ class DPTHead(nn.Module):
         return logits, feats_out
 
 
+# ---------------------------------------------------------------------
+# K-Net (``knet_head.py``)
+
+class KernelUpdator(nn.Module):
+    """Feature-gated dynamic kernel update (``knet_head.py:16-140``,
+    Eq. 4/5 of the K-Net paper)."""
+    in_channels: int = 256
+    feat_channels: int = 64
+    out_channels: Optional[int] = None
+    gate_sigmoid: bool = True
+    gate_norm_act: bool = False
+    activate_out: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, update_feature, input_feature):
+        """update_feature (B,N,C), input_feature (B,N,KK,C) ->
+        (B,N,KK,out)."""
+        out_c = self.out_channels or self.in_channels
+        fc = self.feat_channels
+        params = nn.Dense(fc * 2, dtype=self.dtype,
+                          name='dynamic_layer')(update_feature)
+        param_in, param_out = params[..., :fc], params[..., fc:]
+        input_feats = nn.Dense(fc * 2, dtype=self.dtype,
+                               name='input_layer')(input_feature)
+        input_in = input_feats[..., :fc]
+        input_out = input_feats[..., fc:]
+
+        gate_feats = input_in * param_in[..., None, :]
+        if self.gate_norm_act:
+            gate_feats = nn.relu(nn.LayerNorm(
+                dtype=self.dtype, name='gate_norm')(gate_feats))
+        input_gate = nn.LayerNorm(dtype=self.dtype,
+                                  name='input_norm_in')(
+            nn.Dense(fc, dtype=self.dtype,
+                     name='input_gate')(gate_feats))
+        update_gate = nn.LayerNorm(dtype=self.dtype, name='norm_in')(
+            nn.Dense(fc, dtype=self.dtype,
+                     name='update_gate')(gate_feats))
+        if self.gate_sigmoid:
+            input_gate = nn.sigmoid(input_gate)
+            update_gate = nn.sigmoid(update_gate)
+        param_out = nn.LayerNorm(dtype=self.dtype,
+                                 name='norm_out')(param_out)
+        input_out = nn.LayerNorm(dtype=self.dtype,
+                                 name='input_norm_out')(input_out)
+        if self.activate_out:
+            param_out = nn.relu(param_out)
+            input_out = nn.relu(input_out)
+        # gate mechanism, Eq. (5)
+        features = update_gate * param_out[..., None, :] + \
+            input_gate * input_out
+        features = nn.Dense(out_c, dtype=self.dtype,
+                            name='fc_layer')(features)
+        features = nn.LayerNorm(dtype=self.dtype,
+                                name='fc_norm')(features)
+        return nn.relu(features)
+
+
+class KernelMHA(nn.Module):
+    """Multi-head attention BETWEEN kernels with residual (the mmcv
+    MultiheadAttention used at ``knet_head.py:228-231``)."""
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype,
+                       name='qkv')(x).reshape(
+            b, n, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jax.nn.softmax(
+            jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                       preferred_element_type=jnp.float32) * hd**-0.5,
+            axis=-1)
+        o = jnp.einsum('bhqk,bhkd->bhqd', attn.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        o = nn.Dense(self.dim, dtype=self.dtype, name='proj')(
+            o.astype(self.dtype))
+        return x + o    # mmcv MultiheadAttention adds the identity
+
+
+class KernelUpdateHead(nn.Module):
+    """One K-Net refinement stage (``knet_head.py:142-390``).
+
+    Only ``conv_kernel_size == 1`` is supported — every shipped K-Net
+    semantic-segmentation config uses 1x1 dynamic kernels, for which
+    the dynamic conv is a single einsum on the MXU."""
+    num_classes: int = 150
+    num_ffn_fcs: int = 2
+    num_heads: int = 8
+    num_mask_fcs: int = 3
+    feedforward_channels: int = 2048
+    in_channels: int = 256
+    out_channels: int = 256
+    conv_kernel_size: int = 1
+    with_ffn: bool = True
+    feat_transform_cfg: Optional[dict] = None
+    kernel_updator_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kernels, mask_preds, train: bool = False):
+        """x (B,H,W,C), kernels (B,N,C), mask_preds (B,H,W,N) ->
+        (new_mask (B,H,W,N), new_kernels (B,N,C))."""
+        assert self.conv_kernel_size == 1, (
+            'KernelUpdateHead: only 1x1 dynamic kernels supported')
+        if self.feat_transform_cfg is not None:
+            x = ConvModule(self.in_channels, 1,
+                           norm_cfg=self.feat_transform_cfg.get(
+                               'norm_cfg'),
+                           act_cfg=self.feat_transform_cfg.get(
+                               'act_cfg'),
+                           dtype=self.dtype,
+                           name='feat_transform')(x, train=train)
+        if mask_preds.shape[1:3] != x.shape[1:3]:
+            mask_preds = resize(mask_preds, size=x.shape[1:3],
+                                mode='bilinear', align_corners=False)
+        # group feature assembling, Eq. (3)
+        sigmoid_masks = jax.nn.softmax(mask_preds, axis=-1)
+        x_feat = jnp.einsum('bhwn,bhwc->bnc',
+                            sigmoid_masks.astype(x.dtype), x,
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+
+        upd_cfg = dict(self.kernel_updator_cfg or {})
+        upd_cfg.pop('type', None)
+        upd_cfg.setdefault('in_channels', self.in_channels)
+        obj = KernelUpdator(dtype=self.dtype, name='kernel_update_conv',
+                            **upd_cfg)(x_feat, kernels[:, :, None, :])
+        obj = obj.reshape(obj.shape[0], obj.shape[1], -1)  # KK=1
+        obj = KernelMHA(self.in_channels, self.num_heads,
+                        dtype=self.dtype, name='attention')(obj)
+        obj = nn.LayerNorm(dtype=self.dtype,
+                           name='attention_norm')(obj)
+        if self.with_ffn:
+            y = obj
+            for i in range(self.num_ffn_fcs - 1):
+                y = nn.relu(nn.Dense(self.feedforward_channels,
+                                     dtype=self.dtype,
+                                     name=f'ffn_fc{i}')(y))
+            y = nn.Dense(self.in_channels, dtype=self.dtype,
+                         name=f'ffn_fc{self.num_ffn_fcs - 1}')(y)
+            obj = nn.LayerNorm(dtype=self.dtype,
+                               name='ffn_norm')(obj + y)
+        mask_feat = obj
+        for i in range(self.num_mask_fcs):
+            mask_feat = nn.Dense(self.in_channels, use_bias=False,
+                                 dtype=self.dtype,
+                                 name=f'mask_fc{i}')(mask_feat)
+            mask_feat = nn.relu(nn.LayerNorm(
+                dtype=self.dtype, name=f'mask_norm{i}')(mask_feat))
+        mask_feat = nn.Dense(self.out_channels, dtype=self.dtype,
+                             name='fc_mask')(mask_feat)   # (B,N,C)
+        # 1x1 dynamic conv == einsum on the MXU
+        new_mask = jnp.einsum('bhwc,bnc->bhwn', x, mask_feat,
+                              preferred_element_type=jnp.float32
+                              ).astype(self.dtype)
+        return new_mask, obj
+
+
 @HEADS.register_module()
 class IterativeDecodeHead(nn.Module):
-    """KNet head (``knet_head.py``): learned kernels iteratively
-    updated from their masked feature readout."""
-    in_channels: int = 512
-    channels: int = 256
-    num_classes: int = 19
+    """K-Net head (``knet_head.py:394-453``): a kernel-generate head
+    produces the stage-0 segmentation and the initial kernels (its
+    classifier weights); ``num_stages`` KernelUpdateHeads refine both.
+    Training losses apply to EVERY stage (suffix ``.s{i}``)."""
     num_stages: int = 3
+    kernel_generate_head: Optional[dict] = None
+    kernel_update_head: Optional[Sequence[dict]] = None
+    # legacy/common fields accepted for config compat
+    in_channels: Any = None
+    channels: Any = None
     dropout_ratio: float = 0.1
     in_index: Union[int, Sequence[int]] = 3
     input_transform: Optional[str] = None
@@ -165,38 +427,65 @@ class IterativeDecodeHead(nn.Module):
     ignore_index: int = 255
     loss_decode: Optional[Union[dict, Sequence[dict]]] = None
     sampler: Optional[dict] = None
-    kernel_generate_head: Optional[dict] = None
-    kernel_update_head: Optional[Sequence[dict]] = None
+    num_classes: int = 19
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        gen_cfg = dict(self.kernel_generate_head or dict(
+            type='FCNHead', in_channels=self.in_channels or 512,
+            channels=self.channels or 256, num_convs=1,
+            concat_input=False, num_classes=self.num_classes,
+            in_index=self.in_index, norm_cfg=self.norm_cfg,
+            dropout_ratio=0.0))
+        gen_cfg['dtype'] = self.dtype
+        self.kgh = build_head(gen_cfg)
+        upd_cfgs = list(self.kernel_update_head or [])
+        if not upd_cfgs:
+            upd_cfgs = [dict(in_channels=gen_cfg.get('channels', 256),
+                             out_channels=gen_cfg.get('channels', 256),
+                             num_classes=self.num_classes,
+                             feedforward_channels=512)
+                        ] * self.num_stages
+        heads = []
+        for i, c in enumerate(upd_cfgs):
+            c = dict(c)
+            c.pop('type', None)
+            c['dtype'] = self.dtype
+            heads.append(KernelUpdateHead(name=f'update_head{i}', **c))
+        self.update_heads = heads
+
+    def _find_conv_seg_kernel(self):
+        """Stage-0 kernels are the generate head's classifier weights
+        (``knet_head.py:431-433``)."""
+        p = self.kgh.variables['params']
+
+        def walk(node):
+            if isinstance(node, dict):
+                if 'conv_seg' in node:
+                    return node['conv_seg']['kernel']
+                for v in node.values():
+                    r = walk(v)
+                    if r is not None:
+                        return r
+            return None
+
+        k = walk(p)
+        assert k is not None, 'generate head has no conv_seg classifier'
+        return k    # (1, 1, C, num_classes)
+
+    def all_stage_logits(self, inputs, train: bool = False):
+        logits0, feats = self.kgh(inputs, train=train)
+        kernel = self._find_conv_seg_kernel()[0, 0]     # (C, N)
+        b = feats.shape[0]
+        kernels = jnp.tile(kernel.T[None], (b, 1, 1))   # (B,N,C)
+        stage_segs = [logits0]
+        sem_seg = logits0
+        for head in self.update_heads:
+            sem_seg, kernels = head(feats, kernels, sem_seg,
+                                    train=train)
+            stage_segs.append(sem_seg)
+        return stage_segs, feats
+
     def __call__(self, inputs, train: bool = False):
-        x = transform_inputs(inputs, self.in_index,
-                             self.input_transform, self.align_corners)
-        feats = ConvModule(self.channels, 3, padding=1,
-                           norm_cfg=self.norm_cfg, dtype=self.dtype,
-                           name='feat_conv')(x, train=train)
-        b, h, w, c = feats.shape
-        kernels = self.param('kernels',
-                             nn.initializers.normal(0.01),
-                             (self.num_classes, c))
-        k = jnp.tile(kernels[None], (b, 1, 1))           # (B,K,C)
-        logits = jnp.einsum('bhwc,bkc->bhwk', feats, k,
-                            preferred_element_type=jnp.float32)
-        for s in range(self.num_stages):
-            mask = jax.nn.softmax(logits, axis=-1)
-            # group feature readout per kernel
-            readout = jnp.einsum('bhwk,bhwc->bkc',
-                                 mask.astype(feats.dtype), feats,
-                                 preferred_element_type=jnp.float32)
-            readout = readout.astype(feats.dtype) / (h * w)
-            upd = nn.Dense(c, dtype=self.dtype,
-                           name=f'update{s}')(readout)
-            gate = nn.sigmoid(
-                nn.Dense(c, dtype=self.dtype, name=f'gate{s}')(
-                    readout))
-            k = k * (1 - gate) + upd * gate
-            k = nn.LayerNorm(dtype=self.dtype, name=f'norm{s}')(k)
-            logits = jnp.einsum('bhwc,bkc->bhwk', feats, k,
-                                preferred_element_type=jnp.float32)
-        return logits.astype(self.dtype), feats
+        stage_segs, feats = self.all_stage_logits(inputs, train=train)
+        return stage_segs[-1], feats

@@ -27,6 +27,9 @@ def _head_losses(head, loss_fns, seg_logit, seg_label, seg_weight=None):
     """Reference ``decode_head.py:249-283``: resize logits to label size,
     run each registered loss, add pixel accuracy; optional OHEM sampler
     overrides the pixel weight (``decode_head.py:258-259``)."""
+    if hasattr(head, 'transform_targets'):
+        # STDC boundary-target generation (``stdc_head.py:34-87``)
+        seg_label = head.transform_targets(seg_label)
     seg_logit = resize(seg_logit, size=seg_label.shape[1:3],
                        mode='bilinear', align_corners=head.align_corners)
     if getattr(head, 'sampler', None) is not None:
@@ -127,13 +130,49 @@ class EncoderDecoder(nn.Module):
                       train: bool = True):
         """Losses + states for one supervised pass
         (``encoder_decoder.py:166-217``)."""
-        out = self(img, train=train)
         losses = {}
         gt = gt_semantic_seg.astype(jnp.int32)
-        losses.update(
-            add_prefix(
-                _head_losses(self.decode_head_mod, self._decode_losses,
-                             out['seg_logits'], gt, seg_weight), 'decode'))
+        dh = self.decode_head_mod
+        if hasattr(dh, 'all_stage_logits'):
+            # K-Net: losses on every refinement stage
+            # (``knet_head.py:446-453``)
+            feats = self.extract_feat(img, train=train)
+            stage_segs, decoded = dh.all_stage_logits(feats,
+                                                      train=train)
+            out = {
+                'feats': feats,
+                'seg_logits': stage_segs[-1],
+                'decoded_features': decoded,
+                'aux_logits': tuple(
+                    h(feats, train=train)[0] for h in self.aux_heads),
+            }
+            for i, logit in enumerate(stage_segs):
+                stage = _head_losses(dh, self._decode_losses, logit,
+                                     gt, seg_weight)
+                losses.update(add_prefix(
+                    {f'{k}.s{i}': v for k, v in stage.items()},
+                    'decode'))
+        else:
+            out = self(img, train=train)
+            losses.update(
+                add_prefix(
+                    _head_losses(dh, self._decode_losses,
+                                 out['seg_logits'], gt, seg_weight),
+                    'decode'))
+        if hasattr(dh, 'point_losses') and train:
+            # PointRend train-time point loss
+            # (``point_head.py:174-209``)
+            pt_logits, pt_label = dh.point_losses(out['feats'], gt)
+            pl = pt_logits[:, :, None, :]     # (B,N,1,K) spatial form
+            lbl = pt_label[:, :, None]
+            pt = {}
+            for loss_fn in self._decode_losses:
+                name = 'point' + loss_fn.loss_name
+                val = loss_fn(pl, lbl, ignore_index=dh.ignore_index)
+                pt[name] = pt[name] + val if name in pt else val
+            pt['acc_point'] = accuracy(pl, lbl,
+                                       ignore_index=dh.ignore_index)
+            losses.update(add_prefix(pt, 'decode'))
         for i, (head, aux_logit) in enumerate(
                 zip(self.aux_heads, out['aux_logits'])):
             prefix = 'aux' if len(self.aux_heads) == 1 else f'aux_{i}'
