@@ -127,6 +127,36 @@ def test_dataloader_sharding(isprs_root):
     assert len(i0) + len(i1) == 4
 
 
+def test_dataloader_sharding_world8(tmp_path):
+    """Multi-host loader contract at world_size=8 (the reference's
+    DistributedSampler semantics): per-rank subsets are disjoint, have
+    equal size, and together cover the full dataset exactly once per
+    epoch — with and without shuffling."""
+    root = tmp_path / 'mini16'
+    rs = np.random.RandomState(2)
+    os.makedirs(root / 'img_dir' / 'train')
+    os.makedirs(root / 'ann_dir' / 'train')
+    for i in range(16):
+        cv2.imwrite(str(root / 'img_dir' / 'train' / f'p{i:02d}.png'),
+                    rs.randint(0, 255, (80, 80, 3), np.uint8))
+        cv2.imwrite(str(root / 'ann_dir' / 'train' / f'p{i:02d}.png'),
+                    rs.randint(0, 7, (80, 80)).astype(np.uint8))
+    ds = build_dataset(_source_cfg(str(root), SOURCE_PIPELINE))
+    for shuffle in (False, True):
+        per_rank = []
+        for r in range(8):
+            loader = DataLoader(ds, 1, 1, shuffle=shuffle, seed=0,
+                                rank=r, world_size=8)
+            per_rank.append(
+                [b['img_metas'][0]['ori_filename'] for b in loader])
+        assert all(len(fs) == 2 for fs in per_rank)
+        flat = [f for fs in per_rank for f in fs]
+        assert len(set(flat)) == 16, 'ranks must cover every image'
+        for a in range(8):
+            for b in range(a + 1, 8):
+                assert set(per_rank[a]).isdisjoint(per_rank[b])
+
+
 def test_test_pipeline_and_pre_eval(isprs_root):
     test_pipeline = [
         dict(type='LoadImageFromFile'),

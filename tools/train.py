@@ -37,8 +37,20 @@ def parse_args(args=None):
                         choices=['none', 'jax'],
                         help='jax launcher uses jax.distributed '
                              '(COORDINATOR_ADDRESS env)')
+    parser.add_argument('--coordinator', default=None,
+                        help='multi-host coordinator address host:port '
+                             '(implies --launcher jax)')
+    parser.add_argument('--num-processes', type=int, default=None,
+                        help='total number of hosts in the job')
+    parser.add_argument('--process-id', type=int, default=None,
+                        help='this host\'s index in [0, num_processes)')
     parser.add_argument('--local_rank', type=int, default=0)
     return parser.parse_args(args)
+
+
+def _env_int(name):
+    v = os.environ.get(name)
+    return int(v) if v is not None else None
 
 
 def main(args=None):
@@ -47,9 +59,18 @@ def main(args=None):
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
 
-    if args.launcher == 'jax':
+    coordinator = args.coordinator or os.environ.get(
+        'COORDINATOR_ADDRESS')
+    if args.launcher == 'jax' or args.coordinator:
+        # multi-host init (the reference's init_dist,
+        # ``apis/train.py:104-117`` / ``tools/train.py:150-157``) —
+        # must run before any other jax API touches a backend
         from pfst_tpu.parallel import init_distributed
-        init_distributed(os.environ.get('COORDINATOR_ADDRESS'))
+        num_processes = args.num_processes or _env_int(
+            'NUM_PROCESSES')
+        process_id = args.process_id if args.process_id is not None \
+            else _env_int('PROCESS_ID')
+        init_distributed(coordinator, num_processes, process_id)
 
     work_dir = args.work_dir or cfg.get('work_dir') or osp.join(
         'work_dirs', osp.splitext(osp.basename(args.config))[0])
