@@ -50,3 +50,35 @@ def test_unfold_center_is_identity(rng):
     x = rng.randn(1, 6, 6, 2).astype(np.float32)
     u = np.asarray(unfold_neighbors(jnp.asarray(x), 3, 2))
     np.testing.assert_allclose(u[:, :, :, 4, :], x)
+
+
+def test_fold_batch_norms_output_identical():
+    """Folded conv+BN variables produce the same inference output
+    (pfst_tpu/core/fold_bn.py; deploy-time BN fusion equivalent)."""
+    import jax
+    import jax.numpy as jnp
+    from conftest import tiny_model_cfg
+    from pfst_tpu.core.fold_bn import fold_batch_norms
+    from pfst_tpu.models import build_segmentor
+
+    model = build_segmentor(tiny_model_cfg())
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x,
+                           train=False)
+    # non-trivial running stats so the fold actually moves numbers
+    rs = np.random.RandomState(1)
+    variables = jax.tree.map(lambda a: a, variables)  # unfreeze copy
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(a + 0.05 * rs.randn(*a.shape),
+                              a.dtype), variables['batch_stats'])
+    variables = {'params': variables['params'], 'batch_stats': bs}
+    ref, _ = model.apply(variables, x, method=model.encode_decode)
+    folded = fold_batch_norms(variables)
+    out, _ = model.apply(folded, x, method=model.encode_decode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+    # the fold really rewrote the BN leaves
+    flat = jax.tree.leaves(folded['batch_stats'])
+    means = [a for a in flat if a.ndim == 1]
+    assert any(np.allclose(np.asarray(a), 0) for a in means)
