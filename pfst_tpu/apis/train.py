@@ -217,7 +217,9 @@ def train_segmentor(cfg,
                               workers_per_gpu, shuffle=True, seed=seed,
                               drop_last=True, infinite=True,
                               rank=jax.process_index(),
-                              world_size=jax.process_count())
+                              world_size=jax.process_count(),
+                              use_processes=cfg.data.get(
+                                  'use_processes'))
 
     max_iters = max_iters_override or cfg.runner['max_iters']
     algo = build_algorithm(cfg)

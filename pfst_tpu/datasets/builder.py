@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import copy
 import math
+import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional
@@ -17,6 +18,14 @@ from typing import Any, Dict, Iterator, List, Optional
 import numpy as np
 
 from ..utils.registry import Registry
+
+# set immediately before a fork-context worker pool is created; the
+# forked children inherit it so only indices/results cross the pipe
+_WORKER_DATASET = None
+
+
+def _worker_getitem(i):
+    return _WORKER_DATASET[i]
 
 DATASETS = Registry('datasets')
 PIPELINES = Registry('pipelines')
@@ -106,6 +115,7 @@ class DataLoader:
                  rank: int = 0,
                  world_size: int = 1,
                  infinite: bool = False,
+                 use_processes: Optional[bool] = None,
                  pin_memory: bool = False):
         self.dataset = dataset
         self.batch_size = samples_per_gpu * num_gpus
@@ -117,6 +127,11 @@ class DataLoader:
         self.infinite = infinite
         self.drop_last = shuffle if drop_last is None else drop_last
         self.epoch = 0
+        if use_processes is None:
+            use_processes = os.environ.get(
+                'PFST_DATA_PROCESSES', '') not in ('', '0', 'false')
+        self.use_processes = use_processes
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset) // self.world_size
@@ -133,31 +148,56 @@ class DataLoader:
             idx = np.arange(n)
         return idx[self.rank::self.world_size]
 
+    def _get_pool(self):
+        """Lazily created worker pool, persistent across epochs.
+
+        Default: a thread pool (IO + cv2 release the GIL, so
+        per-sample pipeline work overlaps across workers AND with the
+        device step).  With ``use_processes`` (cfg
+        ``data.use_processes`` or env ``PFST_DATA_PROCESSES=1``):
+        forked worker PROCESSES, for python-heavy pipelines where the
+        GIL becomes the bottleneck (the reference's multiprocess
+        torch DataLoader role).  Decide from the train log's ``data:``
+        seconds — see PERF.md."""
+        if self._pool is None:
+            if self.use_processes:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                # fork inherits the dataset via a module global: only
+                # integer indices and result samples cross the pipe
+                global _WORKER_DATASET
+                _WORKER_DATASET = self.dataset
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=mp.get_context('fork'))
+                self._map_fn = _worker_getitem
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+                self._map_fn = self.dataset.__getitem__
+        return self._pool
+
     def _iter_epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._epoch_indices(epoch)
         nb = len(indices) // self.batch_size if self.drop_last else \
             math.ceil(len(indices) / self.batch_size)
-        # prefetch with a thread pool: IO + cv2 release the GIL, so
-        # per-sample pipeline work overlaps across workers AND with the
-        # device step
-        from concurrent.futures import ThreadPoolExecutor
         q: 'queue.Queue' = queue.Queue(maxsize=max(2, self.num_workers))
         stop = threading.Event()
+        pool = self._get_pool()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                try:
-                    for bi in range(nb):
-                        if stop.is_set():
-                            return
-                        sel = indices[bi * self.batch_size:(bi + 1) *
-                                      self.batch_size]
-                        samples = list(
-                            pool.map(self.dataset.__getitem__,
-                                     [int(i) for i in sel]))
-                        q.put(collate(samples))
-                finally:
-                    q.put(None)
+            try:
+                for bi in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = indices[bi * self.batch_size:(bi + 1) *
+                                  self.batch_size]
+                    samples = list(
+                        pool.map(self._map_fn,
+                                 [int(i) for i in sel]))
+                    q.put(collate(samples))
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -216,6 +256,7 @@ def build_dataloader(dataset,
                      rank=0,
                      world_size=1,
                      infinite=False,
+                     use_processes=None,
                      **kwargs):
     """Public builder (signature mirrors ``datasets/builder.py:100``)."""
     return DataLoader(
@@ -228,4 +269,5 @@ def build_dataloader(dataset,
         drop_last=drop_last or shuffle,
         rank=rank,
         world_size=world_size,
-        infinite=infinite)
+        infinite=infinite,
+        use_processes=use_processes)

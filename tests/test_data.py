@@ -127,6 +127,30 @@ def test_dataloader_sharding(isprs_root):
     assert len(i0) + len(i1) == 4
 
 
+def test_dataloader_process_workers_match_threads(isprs_root):
+    """use_processes=True (forked worker pool, the reference's
+    multiprocess DataLoader role) must yield the same batches as the
+    default thread pool for a deterministic pipeline."""
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', reduce_zero_label=True),
+        dict(type='Normalize', **IMG_NORM),
+        dict(type='DefaultFormatBundle'),
+        dict(type='Collect', keys=['img', 'gt_semantic_seg']),
+    ]
+    ds = build_dataset(_source_cfg(isprs_root, pipeline))
+    lt = DataLoader(ds, 2, 2, shuffle=True, seed=3, drop_last=True)
+    lp = DataLoader(ds, 2, 2, shuffle=True, seed=3, drop_last=True,
+                    use_processes=True)
+    bt = list(lt)
+    bp = list(lp)
+    assert len(bt) == len(bp) == 2
+    for a, b in zip(bt, bp):
+        np.testing.assert_array_equal(a['img'], b['img'])
+        np.testing.assert_array_equal(a['gt_semantic_seg'],
+                                      b['gt_semantic_seg'])
+
+
 def test_dataloader_sharding_world8(tmp_path):
     """Multi-host loader contract at world_size=8 (the reference's
     DistributedSampler semantics): per-rank subsets are disjoint, have
