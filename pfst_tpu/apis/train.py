@@ -310,7 +310,11 @@ def train_segmentor(cfg,
             step_fn = algo.make_train_step(tx, norm['mean'],
                                            norm['std'],
                                            collect_vis=collect_vis)
-        put = lambda b: {k: jnp.asarray(v) for k, v in b.items()  # noqa
+        # pass numpy batches STRAIGHT to the jitted step: transfers
+        # then ride the execute-argument fast path (measured 2.7 GB/s
+        # on the tunneled TPU vs ~36 MB/s for an explicit device_put
+        # — a 75x difference; see PERF.md "Data loading")
+        put = lambda b: {k: v for k, v in b.items()  # noqa: E731
                          if isinstance(v, np.ndarray)}
 
     print_log('entering train loop (first step compiles)...', logger)

@@ -43,8 +43,15 @@ def build_discriminator(cfg):
 
 
 def build_segmentor(cfg, train_cfg=None, test_cfg=None):
-    """Build a segmentor module from config."""
+    """Build a segmentor module from config.
+
+    ``cfg['dtype']`` may be a string (``'bfloat16'`` in config files
+    enables mixed-precision compute: bf16 activations/matmuls, fp32
+    params/BN statistics, fp32 losses)."""
     cfg = copy.deepcopy(cfg)
+    if isinstance(cfg.get('dtype'), str):
+        import jax.numpy as jnp
+        cfg['dtype'] = jnp.dtype(cfg['dtype'])
     if train_cfg is not None or test_cfg is not None:
         assert cfg.get('train_cfg') is None or train_cfg is None, \
             'train_cfg specified in both outer field and segmentor field'

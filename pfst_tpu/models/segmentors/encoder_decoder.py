@@ -30,7 +30,10 @@ def _head_losses(head, loss_fns, seg_logit, seg_label, seg_weight=None):
     if hasattr(head, 'transform_targets'):
         # STDC boundary-target generation (``stdc_head.py:34-87``)
         seg_label = head.transform_targets(seg_label)
-    seg_logit = resize(seg_logit, size=seg_label.shape[1:3],
+    # losses always run in fp32 (mixed-precision training keeps bf16
+    # confined to the conv/matmul stack)
+    seg_logit = resize(seg_logit.astype(jnp.float32),
+                       size=seg_label.shape[1:3],
                        mode='bilinear', align_corners=head.align_corners)
     if getattr(head, 'sampler', None) is not None:
         from ...core.seg import build_pixel_sampler

@@ -167,7 +167,8 @@ class PFGST(UDADecorator):
                                                target_img)
         ema_logits, ema_feats = teacher_out
 
-        ema_softmax = jax.nn.softmax(ema_logits, axis=-1)
+        ema_softmax = jax.nn.softmax(ema_logits.astype(jnp.float32),
+                                     axis=-1)
         pseudo_prob = jnp.max(ema_softmax, axis=-1)      # (B,H,W)
         pseudo_label = jnp.argmax(ema_softmax,
                                   axis=-1).astype(jnp.int32)

@@ -144,6 +144,37 @@ def test_split_compile_matches_fused():
     assert max(jax.tree.leaves(d)) < 1e-6
 
 
+def test_bf16_mixed_precision_training_step():
+    """model.dtype='bfloat16' trains with bf16 compute, fp32 params,
+    fp32 losses — the TPU-native mixed-precision mode (the reference
+    has no AMP path)."""
+    cfg = _uda_cfg('PFGST', use_decoded_feats=True, thre_type='all',
+                   aux_losses=AUX)
+    cfg['model']['dtype'] = 'bfloat16'
+    algo = build_train_model(cfg)
+    tx = optax.adamw(1e-3)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    # params stay fp32
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.params))
+    step = algo.make_train_step(tx, MEAN, STD, donate=False)
+    state2, log_vars, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(log_vars['loss']))
+    moved = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                         state.params, state2.params)
+    assert max(jax.tree.leaves(moved)) > 0
+    # loss close to the fp32 run under the same rng
+    cfg32 = _uda_cfg('PFGST', use_decoded_feats=True, thre_type='all',
+                     aux_losses=AUX)
+    algo32 = build_train_model(cfg32)
+    state32 = algo32.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                                tx)
+    step32 = algo32.make_train_step(tx, MEAN, STD, donate=False)
+    _, lv32, _ = step32(state32, _batch(), jax.random.PRNGKey(1))
+    assert abs(float(log_vars['loss']) - float(lv32['loss'])) < \
+        0.05 * max(1.0, abs(float(lv32['loss'])))
+
+
 def test_pfstv4_output_side_replay():
     """PFSTV4 must replay the geometric metas onto the teacher's
     OUTPUTS (``pfst_v4.py:250-258``), not its input: CNNs are not
