@@ -167,6 +167,29 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
     n = len(dataset)
     t0 = time.time()
 
+    # On-device pre_eval (SURVEY §5: eval reduction = a psum of
+    # (num_classes,) intersect/union histograms): for plain
+    # single-view/no-flip images the rescale + argmax + histogram run
+    # INSIDE the sharded program and only 4*(num_classes,) vectors per
+    # image return to host — instead of full probability maps.
+    num_classes = len(dataset.CLASSES) if getattr(
+        dataset, 'CLASSES', None) else None
+    ignore_index = getattr(dataset, 'ignore_index', 255)
+    can_gt = hasattr(dataset, 'get_gt_seg_map_by_idx')
+
+    @jax.jit
+    def infer_hist(variables, imgs, gts):
+        from ..core.evaluation.metrics import intersect_and_union
+        probs = model.apply(variables, imgs, method=model.inference)[0]
+        if probs.shape[1:3] != gts.shape[1:3]:
+            from ..ops import resize
+            probs = resize(probs, size=gts.shape[1:3], mode='bilinear',
+                           align_corners=model.align_corners)
+        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return jax.vmap(
+            lambda p, g: intersect_and_union(
+                p, g, num_classes, ignore_index))(pred, gts)
+
     # Streaming: views are bucketed by input shape and flushed as soon
     # as a bucket holds one view per device; an image finalizes (and
     # its probs free) once all its TTA views have been computed.
@@ -181,7 +204,6 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
     done = 0
 
     def finalize(idx):
-        nonlocal done
         views = [jnp.asarray(probs_by_item.pop((idx, v)))[None]
                  for v in range(view_counts[idx])]
         metas = [metas_by_item.pop((idx, v))
@@ -189,11 +211,7 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
         pred = _finalize_views(model, views, metas, ori_shapes[idx])
         result_by_idx[idx] = (dataset.pre_eval(pred, idx) if pre_eval
                               else [pred])
-        done += 1
-        if progress and done % 50 == 0:
-            rate = done / (time.time() - t0)
-            print_log(f'eval {done}/{n} on {n_dev} devices '
-                      f'({rate:.1f} img/s)', logger)
+        _progress_tick()
 
     def flush(bucket):
         nonlocal flushes
@@ -201,16 +219,35 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
             return
         pad = (-len(bucket)) % n_dev
         batch_items = bucket + [bucket[-1]] * pad
-        batch = np.stack([im for (_, _, im, _) in batch_items])
+        batch = np.stack([im for (_, _, im, _, _) in batch_items])
         batch = jax.device_put(jnp.asarray(batch), sharding)
-        probs = np.asarray(infer(variables, batch))
         flushes += 1
-        for j, (idx, v, _, me) in enumerate(bucket):
+        if batch_items[0][4] is not None:
+            # histogram path: every item carries its gt
+            gts = jax.device_put(
+                jnp.asarray(np.stack(
+                    [g for (_, _, _, _, g) in batch_items])), sharding)
+            hists = [np.asarray(h) for h in
+                     infer_hist(variables, batch, gts)]
+            for j, (idx, v, _, me, _) in enumerate(bucket):
+                result_by_idx[idx] = [tuple(h[j] for h in hists)]
+                _progress_tick()
+            return
+        probs = np.asarray(infer(variables, batch))
+        for j, (idx, v, _, me, _) in enumerate(bucket):
             probs_by_item[(idx, v)] = probs[j]
             metas_by_item[(idx, v)] = me
             pending[idx] -= 1
             if pending[idx] == 0:
                 finalize(idx)
+
+    def _progress_tick():
+        nonlocal done
+        done += 1
+        if progress and done % 50 == 0:
+            rate = done / (time.time() - t0)
+            print_log(f'eval {done}/{n} on {n_dev} devices '
+                      f'({rate:.1f} img/s)', logger)
 
     for idx in range(n):
         sample = dataset[idx]
@@ -218,15 +255,23 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
         if not isinstance(imgs, list):
             imgs, metas = [imgs], [metas]
         metas = metas if isinstance(metas, list) else [metas]
-        ori_shapes[idx] = metas[0]['ori_shape'][:2]
+        ori_shapes[idx] = tuple(metas[0]['ori_shape'][:2])
         view_counts[idx] = pending[idx] = len(imgs)
+        # histogram path only for plain single-view no-flip eval
+        gt = None
+        if (pre_eval and can_gt and num_classes and len(imgs) == 1
+                and not metas[0].get('flip', False)):
+            gt = np.asarray(dataset.get_gt_seg_map_by_idx(idx),
+                            np.int32)
         for v, (im, me) in enumerate(zip(imgs, metas)):
             im = np.asarray(im)
-            bucket = buckets.setdefault(im.shape, [])
-            bucket.append((idx, v, im, me))
+            key = (im.shape, ori_shapes[idx] if gt is not None
+                   else None, gt is not None)
+            bucket = buckets.setdefault(key, [])
+            bucket.append((idx, v, im, me, gt))
             if len(bucket) == n_dev:
                 flush(bucket)
-                buckets[im.shape] = []
+                buckets[key] = []
     for bucket in buckets.values():
         flush(bucket)
     multi_gpu_test.last_num_device_batches = flushes

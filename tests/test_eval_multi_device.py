@@ -74,6 +74,25 @@ def test_multi_device_eval_matches_single(eval_setup):
     assert multi_gpu_test.last_num_device_batches == 1
 
 
+def test_multi_device_eval_histograms_on_device(eval_setup,
+                                                monkeypatch):
+    """For plain single-view eval the (intersect, union) histograms
+    are computed inside the sharded program — host pre_eval is never
+    invoked (SURVEY §5 eval-reduction design)."""
+    model, variables, loader, ds = eval_setup
+    from pfst_tpu.apis import multi_gpu_test
+
+    def boom(*a, **k):
+        raise AssertionError('host pre_eval must not run')
+
+    monkeypatch.setattr(ds, 'pre_eval', boom)
+    res = multi_gpu_test(model, variables, loader, pre_eval=True,
+                         progress=False)
+    assert len(res) == 8
+    m = ds.evaluate(res, metric='mIoU')
+    assert np.isfinite(m['mIoU'])
+
+
 def test_multi_device_eval_partial_bucket(eval_setup):
     """Non-multiple-of-n_devices image counts pad the last batch."""
     model, variables, loader, ds = eval_setup
