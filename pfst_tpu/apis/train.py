@@ -299,13 +299,15 @@ def train_segmentor(cfg,
             mesh)
     else:
         try:
-            # UDA steps split into two XLA programs: remote-compile
-            # services cap program size and the fused 512^2 step can
-            # exceed it (see PERF.md)
-            step_fn = algo.make_train_step(tx, norm['mean'],
-                                           norm['std'],
-                                           collect_vis=collect_vis,
-                                           split_compile=True)
+            # UDA steps split into four XLA programs by default:
+            # remote-compile services cap program size and the fused
+            # 512^2 step can exceed it (see PERF.md). cfg
+            # ``split_compile=False`` opts into the single fused
+            # program on healthy toolchains.
+            step_fn = algo.make_train_step(
+                tx, norm['mean'], norm['std'],
+                collect_vis=collect_vis,
+                split_compile=cfg.get('split_compile', True))
         except TypeError:
             step_fn = algo.make_train_step(tx, norm['mean'],
                                            norm['std'],
