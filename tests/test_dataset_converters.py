@@ -110,3 +110,101 @@ def test_isaid_color_to_index_roundtrip():
     rgb = np.asarray(isaid.PALETTE, np.uint8)[idx]
     back = isaid.color_to_index(rgb)
     np.testing.assert_array_equal(back, idx)
+
+
+def test_cityscapes_converter(tmp_path):
+    import json
+
+    import cityscapes
+
+    gt = tmp_path / 'gtFine'
+    for split, city, stem in (('train', 'aachen', 'aachen_000000_000019'),
+                              ('val', 'frankfurt',
+                               'frankfurt_000000_000294')):
+        ann = {
+            'imgHeight': 32, 'imgWidth': 48,
+            'objects': [
+                # background object first, overdrawn by later ones
+                {'label': 'road',
+                 'polygon': [[0, 0], [47, 0], [47, 31], [0, 31]]},
+                {'label': 'cargroup',  # group name -> car trainId 13
+                 'polygon': [[4, 4], [20, 4], [20, 12], [4, 12]]},
+                {'label': 'sky',
+                 'polygon': [[30, 20], [40, 20], [40, 28], [30, 28]]},
+                {'label': 'dynamic',  # not in the 19-class set -> 255
+                 'polygon': [[0, 28], [6, 28], [6, 31], [0, 31]]},
+                {'label': 'person', 'deleted': 1,  # skipped
+                 'polygon': [[25, 2], [28, 2], [28, 6], [25, 6]]},
+            ],
+        }
+        d = gt / split / city
+        os.makedirs(d, exist_ok=True)
+        with open(d / f'{stem}_gtFine_polygons.json', 'w') as f:
+            json.dump(ann, f)
+
+    cityscapes.main([str(tmp_path)])
+
+    lab = cv2.imread(
+        str(gt / 'train' / 'aachen' /
+            'aachen_000000_000019_gtFine_labelTrainIds.png'),
+        cv2.IMREAD_UNCHANGED)
+    assert lab.shape == (32, 48)
+    assert lab[0, 0] == 0          # road
+    assert lab[8, 10] == 13        # cargroup -> car
+    assert lab[24, 35] == 10       # sky
+    assert lab[30, 3] == 255       # dynamic -> ignore
+    assert lab[4, 26] == 0         # deleted person not drawn over road
+    with open(tmp_path / 'train.txt') as f:
+        assert f.read().split() == ['aachen_000000_000019']
+    with open(tmp_path / 'test.txt') as f:
+        assert f.read().split() == []
+
+
+def test_coco_stuff164k_converter(tmp_path):
+    import coco_stuff
+
+    rs = np.random.RandomState(0)
+    for split in ('train2017', 'val2017'):
+        img = rs.randint(0, 255, (8, 8, 3), np.uint8)
+        _write_png(str(tmp_path / 'images' / split / 'a.jpg'), img)
+        mask = np.array([[0, 11, 12, 25], [26, 181, 255, 91]] * 4,
+                        np.uint8).reshape(8, 4)
+        _write_png(str(tmp_path / 'annotations' / split / 'a.png'), mask)
+
+    coco_stuff.main(['164k', str(tmp_path)])
+    out = cv2.imread(
+        str(tmp_path / 'annotations' / 'train2017' /
+            'a_labelTrainIds.png'), cv2.IMREAD_UNCHANGED)
+    # renumbering skips the 11 unannotated ids: 12->11, 26->24,
+    # 181->170, 91->80; untouched ids keep mmseg's pass-through
+    np.testing.assert_array_equal(
+        out[:2], np.array([[0, 11, 11, 25], [24, 170, 255, 80]],
+                          np.uint8))
+
+
+def test_coco_stuff10k_converter(tmp_path):
+    import coco_stuff
+    from scipy.io import savemat
+
+    rs = np.random.RandomState(0)
+    os.makedirs(tmp_path / 'imageLists', exist_ok=True)
+    for name, lst in (('x1', 'train'), ('x2', 'test')):
+        img = rs.randint(0, 255, (8, 8, 3), np.uint8)
+        _write_png(str(tmp_path / 'images' / f'{name}.jpg'), img)
+        mask = np.array([[1, 12, 13, 27], [182, 2, 3, 92]] * 4,
+                        np.uint8).reshape(8, 4)
+        os.makedirs(tmp_path / 'annotations', exist_ok=True)
+        savemat(str(tmp_path / 'annotations' / f'{name}.mat'),
+                {'S': mask})
+        with open(tmp_path / 'imageLists' / f'{lst}.txt', 'w') as f:
+            f.write(name + '\n')
+
+    out_dir = tmp_path / 'out'
+    coco_stuff.main(['10k', str(tmp_path), '-o', str(out_dir)])
+    out = cv2.imread(
+        str(out_dir / 'annotations' / 'train2014' /
+            'x1_labelTrainIds.png'), cv2.IMREAD_UNCHANGED)
+    # 10k labels are 164k ids + 1: 1->1, 13->12, 27->25, 182->171
+    np.testing.assert_array_equal(
+        out[:2], np.array([[1, 12, 12, 25], [171, 2, 3, 81]], np.uint8))
+    assert (out_dir / 'images' / 'test2014' / 'x2.jpg').exists()
