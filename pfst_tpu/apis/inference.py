@@ -22,8 +22,8 @@ def init_segmentor(config: Union[str, Config],
     model_cfg = dict(config.model)
     model_cfg['pretrained'] = None
     model_cfg.pop('train_cfg', None)
-    model = build_segmentor(model_cfg,
-                            test_cfg=config.model.get('test_cfg'))
+    test_cfg = model_cfg.pop('test_cfg', None)
+    model = build_segmentor(model_cfg, test_cfg=test_cfg)
     variables = None
     if checkpoint is not None:
         restored = load_checkpoint(checkpoint)
@@ -32,8 +32,13 @@ def init_segmentor(config: Union[str, Config],
     return model, variables
 
 
-def inference_segmentor(model, variables, img):
-    """img: path or HWC array -> predicted label map (H, W)."""
+def inference_segmentor(model, variables, img, apply_fn=None):
+    """img: path or HWC array -> predicted label map (H, W).
+
+    ``apply_fn(variables, batch_img) -> (probs, aux)`` overrides the
+    plain ``model.apply`` call — pass a jitted/cached closure (see
+    ``tools/serve.py``) to amortize compilation across requests.
+    """
     cfg = model.cfg
     pipeline = list(cfg.data['test']['pipeline'])
     if isinstance(img, np.ndarray):
@@ -46,10 +51,12 @@ def inference_segmentor(model, variables, img):
                     seg_prefix=None, seg_fields=[])
     data = Compose(pipeline)(data)
     imgs = data['img'] if isinstance(data['img'], list) else [data['img']]
+    if apply_fn is None:
+        apply_fn = lambda v, im: model.apply(  # noqa: E731
+            v, im, method=model.inference)
     probs = None
     for im in imgs:
-        p, _ = model.apply(variables, jnp.asarray(im)[None],
-                           method=model.inference)
+        p, _ = apply_fn(variables, jnp.asarray(im)[None])
         probs = p if probs is None else probs + p
     return np.asarray(jnp.argmax(probs, axis=-1)[0])
 
