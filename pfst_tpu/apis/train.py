@@ -213,7 +213,15 @@ def train_segmentor(cfg,
     samples_per_gpu = cfg.data.get('samples_per_gpu', 2)
     workers_per_gpu = cfg.data.get('workers_per_gpu', 2)
     n_dev = jax.local_device_count()
-    loader = build_dataloader(train_ds, samples_per_gpu * n_dev,
+    # optional tensor parallelism: cfg.parallel.tp devices shard the
+    # transformer block weights (Megatron layout, parallel/tp.py); the
+    # remaining n_dev // tp devices form the data axis
+    tp_size = int((cfg.get('parallel') or {}).get('tp', 1))
+    if tp_size > 1:
+        assert n_dev % tp_size == 0, \
+            f'{n_dev} devices not divisible by parallel.tp={tp_size}'
+    n_data = n_dev // tp_size
+    loader = build_dataloader(train_ds, samples_per_gpu * n_data,
                               workers_per_gpu, shuffle=True, seed=seed,
                               drop_last=True, infinite=True,
                               rank=jax.process_index(),
@@ -289,7 +297,17 @@ def train_segmentor(cfg,
     for h in hooks:
         h.before_run(ctx)
 
-    if n_dev > 1:
+    if tp_size > 1:
+        from ..parallel import tp as tp_mod
+        mesh2 = tp_mod.get_2d_mesh(n_model=tp_size)
+        state = tp_mod.shard_state(state, mesh2)
+        step_fn = tp_mod.make_tp_train_step(algo, tx, norm['mean'],
+                                            norm['std'], mesh2,
+                                            collect_vis=collect_vis)
+        put = lambda b: tp_mod.shard_batch_2d(  # noqa: E731
+            {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
+            mesh2)
+    elif n_dev > 1:
         mesh = get_mesh()
         step_fn = make_sharded_train_step(algo, tx, norm['mean'],
                                           norm['std'], mesh,

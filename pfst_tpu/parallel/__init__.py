@@ -10,3 +10,10 @@ __all__ = [
 from .slide import sharded_slide_inference, window_grid  # noqa: E402
 
 __all__ += ['sharded_slide_inference', 'window_grid']
+
+from . import tp  # noqa: E402
+from .tp import (MODEL_AXIS, get_2d_mesh,  # noqa: E402
+                 make_tp_train_step, shard_state)
+
+__all__ += ['tp', 'MODEL_AXIS', 'get_2d_mesh', 'make_tp_train_step',
+            'shard_state']

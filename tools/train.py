@@ -45,6 +45,11 @@ def parse_args(args=None):
     parser.add_argument('--process-id', type=int, default=None,
                         help='this host\'s index in [0, num_processes)')
     parser.add_argument('--local_rank', type=int, default=0)
+    parser.add_argument('--tp', type=int, default=None,
+                        help='tensor-parallel degree: shard transformer'
+                        ' block weights over this many devices (the'
+                        ' rest form the data axis); equivalent to'
+                        ' --cfg-options parallel.tp=N')
     return parser.parse_args(args)
 
 
@@ -58,6 +63,8 @@ def main(args=None):
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
+    if args.tp:
+        cfg.merge_from_dict({'parallel.tp': args.tp})
 
     coordinator = args.coordinator or os.environ.get(
         'COORDINATOR_ADDRESS')
