@@ -92,7 +92,13 @@ def main():
         out = fn(variables, imgs[i % STEPS])
     _ = np.asarray(out[2])
     best = None
-    for _rep in range(4):  # best-of-4: tunnel jitter is one-sided slow
+    for rep in range(4):  # best-of-4: tunnel jitter is one-sided slow
+        # fresh inputs EVERY rep — repeating rep 1's exact executions
+        # could be elided by the backend (see comment above), which
+        # would make min() pick a bogus near-zero time
+        imgs = [img + 0.001 * (1 + rep * STEPS + i)
+                for i in range(STEPS)]
+        jax.block_until_ready(imgs[-1])
         t0 = time.perf_counter()
         outs = [fn(variables, imgs[i]) for i in range(STEPS)]
         _ = [np.asarray(o[2]) for o in outs]

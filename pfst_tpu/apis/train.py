@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import time
+from collections.abc import Mapping
 from typing import Any, Dict, Optional
 
 import jax
@@ -32,29 +33,33 @@ from ..utils.misc import find_latest_checkpoint
 from .test import single_gpu_test
 
 
-class LazyLogVars(dict):
+class LazyLogVars(Mapping):
     """Mapping over on-device scalar log vars that defers the
     device→host transfer until a value is actually read.
 
     Hooks fire every iteration (mmcv cadence) but mostly self-gate on
     their own ``interval`` without touching values; materializing
     eagerly would force a device sync per step.
+
+    Deliberately NOT a ``dict`` subclass: CPython's ``dict(x)`` /
+    ``{**x}`` / ``d.update(x)`` fast-path dict subclasses by reading
+    their internal storage directly (bypassing overridden accessors),
+    which would yield an empty copy before materialization. A Mapping
+    goes through ``keys()``/``__getitem__`` on every copy route.
     """
 
     def __init__(self, dev_vars):
-        super().__init__()
         self._dev = dev_vars
-        self._done = False
+        self._host = None
 
     def _materialize(self):
-        if not self._done:
+        if self._host is None:
             host = jax.device_get(self._dev)
-            super().update({k: float(v) for k, v in host.items()})
-            self._done = True
-        return self
+            self._host = {k: float(v) for k, v in host.items()}
+        return self._host
 
     def __getitem__(self, k):
-        return dict.__getitem__(self._materialize(), k)
+        return self._materialize()[k]
 
     def __contains__(self, k):
         return k in self._dev
@@ -67,12 +72,6 @@ class LazyLogVars(dict):
 
     def keys(self):
         return self._dev.keys()
-
-    def items(self):
-        return dict.items(self._materialize())
-
-    def values(self):
-        return dict.values(self._materialize())
 
     def get(self, k, default=None):
         return dict.get(self._materialize(), k, default)

@@ -9,6 +9,7 @@ yields fixed-shape numpy batches ready for ``jax.device_put``.
 from __future__ import annotations
 
 import copy
+import itertools
 import math
 import os
 import queue
@@ -21,11 +22,18 @@ from ..utils.registry import Registry
 
 # set immediately before a fork-context worker pool is created; the
 # forked children inherit it so only indices/results cross the pipe
-_WORKER_DATASET = None
+# fork-inherited registry: one slot per DataLoader, keyed by a unique
+# loader id. A single module-global dataset slot would be clobbered
+# when a second process-backed loader (e.g. the eval loader) builds
+# its pool — and since ProcessPoolExecutor forks workers lazily on
+# submit, an earlier loader's late-forked workers would then inherit
+# the wrong dataset.
+_WORKER_DATASETS: dict = {}
+_LOADER_IDS = itertools.count()
 
 
-def _worker_getitem(i):
-    return _WORKER_DATASET[i]
+def _worker_getitem(loader_id, i):
+    return _WORKER_DATASETS[loader_id][i]
 
 DATASETS = Registry('datasets')
 PIPELINES = Registry('pipelines')
@@ -163,14 +171,15 @@ class DataLoader:
             if self.use_processes:
                 import multiprocessing as mp
                 from concurrent.futures import ProcessPoolExecutor
-                # fork inherits the dataset via a module global: only
-                # integer indices and result samples cross the pipe
-                global _WORKER_DATASET
-                _WORKER_DATASET = self.dataset
+                from functools import partial
+                # fork inherits the dataset via the module registry:
+                # only integer indices and samples cross the pipe
+                loader_id = next(_LOADER_IDS)
+                _WORKER_DATASETS[loader_id] = self.dataset
                 self._pool = ProcessPoolExecutor(
                     self.num_workers,
                     mp_context=mp.get_context('fork'))
-                self._map_fn = _worker_getitem
+                self._map_fn = partial(_worker_getitem, loader_id)
             else:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pool = ThreadPoolExecutor(self.num_workers)

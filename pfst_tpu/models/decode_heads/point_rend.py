@@ -113,12 +113,19 @@ class PointRendHead(nn.Module):
             lambda r, i, p: r.at[i].set(p))(refined, idx, pt_logits)
         return refined.reshape(b, h, w, k), feats
 
-    def point_losses(self, inputs, gt) -> Tuple[jnp.ndarray,
-                                                jnp.ndarray]:
+    def point_losses(self, inputs, gt,
+                     coarse_logits=None) -> Tuple[jnp.ndarray,
+                                                  jnp.ndarray]:
         """Importance-sample train points and return
         (point_logits (B,N,K), point_label (B,N)) for the point loss
-        (``get_points_train``, ``point_head.py:270-323``)."""
-        fine, _, coarse_logits = self._coarse(inputs, True)
+        (``get_points_train``, ``point_head.py:270-323``).
+
+        Pass the dense pass's ``seg_logits`` as ``coarse_logits`` so
+        the coarse head is not recomputed (the reference computes
+        ``prev_output`` once and feeds both losses from it)."""
+        fine = [inputs[i] for i in self.in_index][0]
+        if coarse_logits is None:
+            _, _, coarse_logits = self._coarse(inputs, True)
         b = coarse_logits.shape[0]
         rng = self.make_rng('dropout')
         k1, k2 = jax.random.split(rng)

@@ -165,7 +165,8 @@ class EncoderDecoder(nn.Module):
         if hasattr(dh, 'point_losses') and train:
             # PointRend train-time point loss
             # (``point_head.py:174-209``)
-            pt_logits, pt_label = dh.point_losses(out['feats'], gt)
+            pt_logits, pt_label = dh.point_losses(
+                out['feats'], gt, coarse_logits=out['seg_logits'])
             pl = pt_logits[:, :, None, :]     # (B,N,1,K) spatial form
             lbl = pt_label[:, :, None]
             pt = {}

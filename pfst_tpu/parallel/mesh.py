@@ -23,10 +23,23 @@ DATA_AXIS = 'data'
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
-    """Multi-host init (the ``init_dist`` equivalent). No-op when
-    single-process."""
+    """Multi-host init (the ``init_dist`` equivalent).
+
+    With an explicit coordinator, initializes directly. Without one,
+    falls back to jax's cluster auto-detection when a multi-task
+    Slurm/OpenMPI environment is visible (so ``--launcher jax`` under
+    ``srun --ntasks>1`` forms one world instead of N duplicate
+    single-host jobs). No-op when single-process.
+    """
+    import os
     if coordinator is not None:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
+        jax.distributed.initialize(coordinator, num_processes,
+                                   process_id)
+        return
+    ntasks = int(os.environ.get('SLURM_NTASKS') or
+                 os.environ.get('OMPI_COMM_WORLD_SIZE') or 1)
+    if ntasks > 1:
+        jax.distributed.initialize()  # Slurm/MPI auto-detection
 
 
 def get_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:

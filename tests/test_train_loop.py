@@ -176,3 +176,23 @@ def test_tools_train_cli(data_root, tmp_path, monkeypatch):
                     str(tmp_path / 'wd'), '--no-validate',
                     '--max-iters', '2'])
     assert osp.exists(tmp_path / 'wd' / 'ckpt' / '2')
+
+
+def test_lazy_log_vars_copy_routes():
+    """dict(lv) / {**lv} / update(lv) must see the values — a dict
+    SUBCLASS would hit CPython's internal-storage fast path and yield
+    {} before materialization."""
+    import jax.numpy as jnp
+
+    from pfst_tpu.apis.train import LazyLogVars
+
+    lv = LazyLogVars({'loss': jnp.float32(1.5), 'acc': jnp.float32(2.0)})
+    assert dict(lv) == {'loss': 1.5, 'acc': 2.0}
+    lv2 = LazyLogVars({'loss': jnp.float32(3.0)})
+    assert {**lv2} == {'loss': 3.0}
+    d = {'x': 1}
+    d.update(LazyLogVars({'y': jnp.float32(4.0)}))
+    assert d == {'x': 1, 'y': 4.0}
+    lv3 = LazyLogVars({'a': jnp.float32(0.5)})
+    assert 'a' in lv3 and len(lv3) == 1 and list(lv3.keys()) == ['a']
+    assert sorted(dict(lv).items()) == sorted(lv.items())

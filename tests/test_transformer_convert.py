@@ -397,3 +397,57 @@ def test_vit_converter_covers_all_params():
             assert k in node, f'converter missed {"/".join(path)}'
             node = node[k]
         assert np.asarray(node).shape == leaf.shape, path
+
+
+def test_swin_official_naming_detected_and_converted():
+    """Official Swin releases name stages ``layers.N`` — exactly what
+    mmseg renames to ``stages.N`` — so naming detection must be
+    arch-aware (``layers.`` means OFFICIAL for swin, mmseg for vit)."""
+    bb = BACKBONES.build(dict(
+        type='SwinTransformer', pretrain_img_size=32, embed_dims=8,
+        depths=(1, 1), num_heads=(1, 2), window_size=4,
+        out_indices=(0, 1), patch_size=4, strides=(4, 2)))
+    ref = bb.init({'params': jax.random.PRNGKey(0)},
+                  jnp.zeros((1, 32, 32, 3)), train=False)
+    ref_p = jax.device_get(ref['params'])
+
+    sd = {}
+    sd['patch_embed.proj.weight'] = torch.zeros(8, 3, 4, 4)
+    sd['patch_embed.proj.bias'] = torch.zeros(8)
+    sd['patch_embed.norm.weight'] = torch.zeros(8)
+    sd['patch_embed.norm.bias'] = torch.zeros(8)
+    for s, dim in ((0, 8), (1, 16)):
+        p = f'layers.{s}.blocks.0.'
+        nrel = (2 * 4 - 1)**2
+        heads = 1 if s == 0 else 2
+        sd[p + 'norm1.weight'] = torch.zeros(dim)
+        sd[p + 'norm1.bias'] = torch.zeros(dim)
+        sd[p + 'attn.relative_position_bias_table'] = \
+            torch.zeros(nrel, heads)
+        sd[p + 'attn.relative_position_index'] = torch.zeros(16, 16)
+        sd[p + 'attn.qkv.weight'] = torch.zeros(dim * 3, dim)
+        sd[p + 'attn.qkv.bias'] = torch.zeros(dim * 3)
+        sd[p + 'attn.proj.weight'] = torch.zeros(dim, dim)
+        sd[p + 'attn.proj.bias'] = torch.zeros(dim)
+        sd[p + 'norm2.weight'] = torch.zeros(dim)
+        sd[p + 'norm2.bias'] = torch.zeros(dim)
+        sd[p + 'mlp.fc1.weight'] = torch.zeros(dim * 4, dim)
+        sd[p + 'mlp.fc1.bias'] = torch.zeros(dim * 4)
+        sd[p + 'mlp.fc2.weight'] = torch.zeros(dim, dim * 4)
+        sd[p + 'mlp.fc2.bias'] = torch.zeros(dim)
+        sd[f'norm{s}.weight'] = torch.zeros(dim)
+        sd[f'norm{s}.bias'] = torch.zeros(dim)
+    sd['layers.0.downsample.norm.weight'] = torch.zeros(32)
+    sd['layers.0.downsample.norm.bias'] = torch.zeros(32)
+    sd['layers.0.downsample.reduction.weight'] = torch.zeros(16, 32)
+    sd['head.weight'] = torch.zeros(1000, 16)  # dropped
+
+    params, _, skipped = convert_transformer_state_dict(sd, 'swin')
+    assert not skipped, skipped
+    conv = params['backbone_mod']
+    for path, leaf in _leaf_paths(ref_p):
+        node = conv
+        for k in path:
+            assert k in node, f'converter missed {"/".join(path)}'
+            node = node[k]
+        assert np.asarray(node).shape == leaf.shape, path

@@ -47,11 +47,16 @@ def _pad_to(arr, h, w, value):
 
 
 def _windows(size, patch, stride):
-    """Border-clamped slide windows (reference slide_crop_*)."""
+    """Border-clamped slide windows (reference slide_crop_*), each
+    distinct window exactly once: interior starts every ``stride``,
+    plus one final window clamped to the border (iterating
+    ``range(0, size, stride)`` instead would emit the clamped border
+    window several times and rewrite the same crops)."""
     out = []
-    for start in range(0, size, stride):
-        end = min(start + patch, size)
-        out.append((max(end - patch, 0), end))
+    for start in range(0, max(size - patch, 0) + 1, stride):
+        out.append((start, start + patch))
+    if out[-1][1] < size:
+        out.append((max(size - patch, 0), size))
     return out
 
 

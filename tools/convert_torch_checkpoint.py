@@ -505,8 +505,16 @@ def convert_transformer_state_dict(state_dict, arch, prefix=''):
     bare = {k[len('backbone.'):] if k.startswith('backbone.') else k: v
             for k, v in sd.items() if not k.startswith(
                 ('decode_head.', 'auxiliary_head.', 'neck.'))}
-    official = not any(k.startswith(('layers.', 'stages.')) or
-                       'ffn.layers' in k for k in bare)
+    # arch-aware naming detection: the mmseg marker differs per family
+    # (official Swin itself uses ``layers.``, which mmseg renames to
+    # ``stages.`` — so ``layers.`` means OFFICIAL there, not mmseg)
+    if arch == 'swin':
+        official = not any(k.startswith('stages.') for k in bare)
+    elif arch == 'mit':
+        official = not any(k.startswith('layers.') for k in bare)
+    else:  # beit/vit: official releases use ``blocks.``
+        official = not any(k.startswith('layers.') or
+                           'ffn.layers' in k for k in bare)
     if official:
         bare = official_to_mmseg(bare, arch)
     params, batch_stats, skipped = {}, {}, []

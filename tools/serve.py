@@ -77,6 +77,7 @@ class Predictor:
 
     def render(self, img_bgr, labels, opacity=0.5):
         color = self.palette[labels.astype(np.int64) % len(self.palette)]
+        color = color[..., ::-1]  # palette is RGB, the canvas is BGR
         return (img_bgr * (1 - opacity) + color * opacity).astype(
             np.uint8)
 
