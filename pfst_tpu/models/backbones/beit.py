@@ -184,6 +184,7 @@ class BEiT(nn.Module):
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     num_fcs: int = 2
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -230,15 +231,17 @@ class BEiT(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, self.num_layers)
         outs = []
         out_idx = self._out_indices()
+        block_cls = (nn.remat(BEiTBlock, static_argnums=(2,))
+                     if self.with_cp else BEiTBlock)
         for i in range(self.num_layers):
-            seq = BEiTBlock(
+            seq = block_cls(
                 self.embed_dims, self.num_heads, (wh, ww),
                 mlp_ratio=self.mlp_ratio,
                 bias=('qv_bias' if self.qv_bias else False),
                 init_values=self.init_values,
                 drop_path_rate=float(dpr[i]),
                 rel_pos_zero_init=self.rel_pos_zero_init,
-                dtype=self.dtype, name=f'layers_{i}')(seq, train=train)
+                dtype=self.dtype, name=f'layers_{i}')(seq, train)
             if i == self.num_layers - 1 and self.final_norm:
                 seq = nn.LayerNorm(dtype=self.dtype, name='norm1')(seq)
             if i in out_idx:

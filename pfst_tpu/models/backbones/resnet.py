@@ -136,6 +136,7 @@ class ResNet(nn.Module):
     contract_dilation: bool = False
     multi_grid: Optional[Sequence[int]] = None
     zero_init_residual: bool = True
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -162,6 +163,14 @@ class ResNet(nn.Module):
             raise KeyError(f'invalid depth {self.depth} for resnet')
         block_cls, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
+        if self.with_cp:
+            # activation checkpointing (the reference's ``with_cp``,
+            # torch.utils.checkpoint at ``resnet.py:89``): rematerialize
+            # each block on the backward pass — TPU-native remat trades
+            # FLOPs for HBM so larger batches/crops fit per chip.
+            # static_argnums: (self, x, train) — ``train`` is a python
+            # bool branching the BN mode.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         stem_train = train and not self.norm_eval and self.frozen_stages < 0
         if self.deep_stem:
@@ -208,7 +217,7 @@ class ResNet(nn.Module):
                     avg_down=self.avg_down,
                     norm_cfg=self.norm_cfg,
                     dtype=self.dtype,
-                    name=f'layer{i + 1}_block{b}')(x, train=stage_train)
+                    name=f'layer{i + 1}_block{b}')(x, stage_train)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -153,6 +153,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.0
     patch_norm: bool = True
     norm_cfg: Optional[dict] = None
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -180,12 +181,14 @@ class SwinTransformer(nn.Module):
                                  name=f'merge_norm{i}')(x)
                 x = nn.Dense(dim, use_bias=False, dtype=self.dtype,
                              name=f'merge_reduce{i}')(x)
+            block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                         if self.with_cp else SwinBlock)
             for j in range(depth):
-                x = SwinBlock(dim, self.num_heads[i],
+                x = block_cls(dim, self.num_heads[i],
                               self.window_size, shift=bool(j % 2),
                               mlp_ratio=self.mlp_ratio,
                               dtype=self.dtype,
-                              name=f'stage{i}_block{j}')(x, train=train)
+                              name=f'stage{i}_block{j}')(x, train)
             if i in self.out_indices:
                 outs.append(
                     nn.LayerNorm(dtype=self.dtype,

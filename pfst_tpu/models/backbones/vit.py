@@ -64,6 +64,7 @@ class VisionTransformer(nn.Module):
     drop_rate: float = 0.0
     norm_cfg: Optional[dict] = None
     final_norm: bool = False
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -95,10 +96,14 @@ class VisionTransformer(nn.Module):
         else:
             seq = seq + grid_pos
         outs = []
+        # with_cp: rematerialize each block on backward (reference
+        # ``vit.py`` with_cp / torch.utils.checkpoint)
+        block_cls = (nn.remat(ViTBlock, static_argnums=(2,))
+                     if self.with_cp else ViTBlock)
         for i in range(self.num_layers):
-            seq = ViTBlock(self.embed_dims, self.num_heads,
-                           self.mlp_ratio, dtype=self.dtype,
-                           name=f'block{i}')(seq, train=train)
+            seq = block_cls(self.embed_dims, self.num_heads,
+                            self.mlp_ratio, dtype=self.dtype,
+                            name=f'block{i}')(seq, train)
             if i in self.out_indices:
                 y = seq[:, 1:] if self.with_cls_token else seq
                 outs.append(y.reshape(b, h, w, self.embed_dims))

@@ -77,3 +77,93 @@ def test_convnext_tiny():
     outs = run_module(bb, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
     assert [o.shape[-1] for o in outs] == [96, 192, 384, 768]
+
+
+def test_resnet_with_cp_remat_equivalence():
+    """with_cp=True (activation checkpointing via nn.remat, the
+    reference's torch.utils.checkpoint at ``resnet.py:89``) must keep
+    the param tree and compute the same outputs/grads, modulo float
+    reassociation from the backward-pass recompute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pfst_tpu.models import build_backbone
+
+    def build(with_cp):
+        return build_backbone(dict(
+            type='ResNetV1c', depth=18, num_stages=4, base_channels=8,
+            stem_channels=8, out_indices=(0, 1, 2, 3),
+            dilations=(1, 1, 2, 4), strides=(1, 2, 1, 1),
+            norm_cfg=dict(type='BN', requires_grad=True),
+            contract_dilation=True, with_cp=with_cp))
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    results = {}
+    for cp in (False, True):
+        bb = build(cp)
+        v = bb.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(params):
+            o, _ = bb.apply(
+                {'params': params, 'batch_stats': v['batch_stats']},
+                x, True, mutable=['batch_stats'])
+            return sum(jnp.sum(t ** 2) for t in o)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(v['params'])
+        results[cp] = (jax.tree.structure(v['params']), float(val),
+                       grads)
+    assert results[False][0] == results[True][0]
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[False][2]),
+                    jax.tree.leaves(results[True][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
+
+
+import pytest
+
+
+@pytest.mark.parametrize('cfg_fn', [
+    lambda cp: dict(type='VisionTransformer', img_size=32, patch_size=8,
+                    embed_dims=16, num_layers=2, num_heads=2,
+                    out_indices=(1,), with_cp=cp),
+    lambda cp: dict(type='SwinTransformer', pretrain_img_size=32,
+                    embed_dims=8, depths=(1, 1), num_heads=(1, 2),
+                    window_size=4, out_indices=(0, 1), patch_size=4,
+                    strides=(4, 2), with_cp=cp),
+    lambda cp: dict(type='BEiT', img_size=32, patch_size=8,
+                    embed_dims=16, num_layers=2, num_heads=2,
+                    out_indices=(1,), with_cp=cp),
+], ids=['vit', 'swin', 'beit'])
+def test_transformer_with_cp_remat_equivalence(cfg_fn):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pfst_tpu.models import build_backbone
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    results = {}
+    for cp in (False, True):
+        bb = build_backbone(cfg_fn(cp))
+        v = bb.init({'params': jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(params):
+            o = bb.apply({'params': params}, x, train=True,
+                         rngs={'dropout': jax.random.PRNGKey(1)})
+            return sum(jnp.sum(t ** 2) for t in o)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(v['params'])
+        results[cp] = (jax.tree.structure(v['params']), float(val),
+                       grads)
+    assert results[False][0] == results[True][0]
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[False][2]),
+                    jax.tree.leaves(results[True][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)
