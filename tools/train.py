@@ -90,6 +90,11 @@ def main(args=None):
     setup_environment(cfg)
     import jax
     seed = args.seed if args.seed is not None else cfg.get('seed', 0)
+    from pfst_tpu.utils.collect_env import collect_env
+    env_info = '\n'.join(f'{k}: {v}'
+                         for k, v in collect_env().items())
+    logger.info('Environment info:\n' + '-' * 40 + f'\n{env_info}\n' +
+                '-' * 40)
     logger.info(f'devices: {jax.devices()}  seed: {seed}')
     logger.info(f'Config:\n{cfg.dump()}')
 
