@@ -173,3 +173,53 @@ def test_train_segmentor_end_to_end_tp(tmp_path):
     # global batch = samples_per_gpu * (8 devices / tp 2) = 4
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(state.params))
+
+
+def test_uda_pfgst_step_under_tp_matches_single_device():
+    """Full PFGST UDA step (EMA teacher, pseudo-labels, ClassMix, two
+    student passes, PFGST losses) with a ViT student under dp×tp —
+    numerics must match the single-device step."""
+    import optax
+
+    from pfst_tpu.models import build_train_model
+
+    cfg = dict(
+        uda=dict(type='PFGST', alpha=0.999, pseudo_threshold=0.98,
+                 pseudo_weight_ignore_top=0,
+                 pseudo_weight_ignore_bottom=0,
+                 imnet_feature_dist_lambda=0, mix='class', blur=False,
+                 color_jitter_strength=0.2,
+                 color_jitter_probability=0.2,
+                 print_grad_magnitude=False, thre_type='all',
+                 trg_loss_weight=1.0, use_decoded_feats=False,
+                 aux_losses=[]),
+        model=_vit_cfg(),
+        runner=dict(max_iters=100))
+    algo = build_train_model(cfg)
+    tx = optax.adamw(6e-5, weight_decay=0.01)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    rs = np.random.RandomState(0)
+    b = 4
+    batch = {
+        'img': jnp.asarray(rs.randn(b, 32, 32, 3), jnp.float32),
+        'gt_semantic_seg': jnp.asarray(
+            rs.randint(0, 6, (b, 32, 32)), jnp.int32),
+        'target_img': jnp.asarray(rs.randn(b, 32, 32, 3), jnp.float32),
+        'target_img_strong_aug': jnp.asarray(
+            rs.randn(b, 32, 32, 3), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    ref_step = algo.make_train_step(tx, MEAN, STD, donate=False,
+                                    axis_name=None, jit=False)
+    _, ref_log, _ = jax.jit(ref_step)(state, batch, rng)
+
+    mesh = tp.get_2d_mesh(n_model=2)
+    tp_state = tp.shard_state(state, mesh)
+    step = tp.make_tp_train_step(algo, tx, MEAN, STD, mesh)
+    new_state, log, _ = step(tp_state, tp.shard_batch_2d(batch, mesh),
+                             rng)
+    np.testing.assert_allclose(float(log['loss']),
+                               float(ref_log['loss']), rtol=1e-4)
+    qkv = new_state.params['backbone_mod']['block0']['qkv']['kernel']
+    assert qkv.sharding.spec == P(None, 'model')
