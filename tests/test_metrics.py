@@ -78,3 +78,18 @@ def test_mean_wrappers(rng):
     assert 'IoU' in mean_iou(results, gts, 3, 255)
     assert 'Dice' in mean_dice(results, gts, 3, 255)
     assert 'Fscore' in mean_fscore(results, gts, 3, 255)
+
+
+def test_get_classes_and_palette_aliases():
+    from pfst_tpu.core.evaluation import get_classes, get_palette
+    assert get_classes('potsdam') == get_classes('isprs')
+    assert len(get_classes('isprs')) == len(get_palette('isprs')) == 6
+    assert get_classes('inria') == ('background', 'building')
+    assert len(get_classes('cityscapes')) == 19
+    assert len(get_palette('cityscapes')) == 19
+    assert len(get_classes('season_net')) == 33
+    try:
+        get_classes('nope')
+        raise AssertionError('expected ValueError')
+    except ValueError as e:
+        assert 'Unrecognized' in str(e)
