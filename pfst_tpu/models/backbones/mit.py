@@ -109,6 +109,7 @@ class MixVisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     norm_cfg: Optional[dict] = None
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -116,6 +117,9 @@ class MixVisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        # (self, x, hw, train): hw is a static python tuple
+        block_cls = (nn.remat(MiTBlock, static_argnums=(2, 3))
+                     if self.with_cp else MiTBlock)
         for i in range(self.num_stages):
             dim = self.embed_dims * self.num_heads[i]
             p = self.patch_sizes[i]
@@ -128,11 +132,11 @@ class MixVisionTransformer(nn.Module):
                                name=f'embed_norm{i}')(
                                    x.reshape(b, h * w, c))
             for j in range(self.num_layers[i]):
-                seq = MiTBlock(dim, self.num_heads[i],
-                               self.sr_ratios[i], self.mlp_ratio,
-                               dtype=self.dtype,
-                               name=f'stage{i}_block{j}')(
-                                   seq, (h, w), train=train)
+                seq = block_cls(dim, self.num_heads[i],
+                                self.sr_ratios[i], self.mlp_ratio,
+                                dtype=self.dtype,
+                                name=f'stage{i}_block{j}')(
+                                    seq, (h, w), train)
             seq = nn.LayerNorm(dtype=self.dtype,
                                name=f'stage_norm{i}')(seq)
             x = seq.reshape(b, h, w, dim)

@@ -109,6 +109,7 @@ class PCPVT(nn.Module):
     mlp_ratios: Sequence[int] = (8, 8, 4, 4)
     windows: Sequence[int] = (0, 0, 0, 0)  # SVT overrides
     norm_cfg: Optional[dict] = None
+    with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -116,6 +117,9 @@ class PCPVT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        # (self, seq, hw, train): hw is a static python tuple
+        block_cls = (nn.remat(TwinsBlock, static_argnums=(2, 3))
+                     if self.with_cp else TwinsBlock)
         for i in range(len(self.depths)):
             p = self.patch_sizes[i]
             dim = self.embed_dims[i]
@@ -127,12 +131,11 @@ class PCPVT(nn.Module):
                                    x.reshape(b, h * w, c))
             for j in range(self.depths[i]):
                 win = self.windows[i] if j % 2 == 0 else 0
-                seq = TwinsBlock(dim, self.num_heads[i],
-                                 self.sr_ratios[i], window_size=win,
-                                 mlp_ratio=self.mlp_ratios[i],
-                                 dtype=self.dtype,
-                                 name=f's{i}_b{j}')(seq, (h, w),
-                                                    train=train)
+                seq = block_cls(dim, self.num_heads[i],
+                                self.sr_ratios[i], window_size=win,
+                                mlp_ratio=self.mlp_ratios[i],
+                                dtype=self.dtype,
+                                name=f's{i}_b{j}')(seq, (h, w), train)
                 if j == 0:
                     seq = PEG(dim, dtype=self.dtype,
                               name=f'peg{i}')(seq, (h, w))

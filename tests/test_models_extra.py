@@ -137,7 +137,15 @@ import pytest
     lambda cp: dict(type='BEiT', img_size=32, patch_size=8,
                     embed_dims=16, num_layers=2, num_heads=2,
                     out_indices=(1,), with_cp=cp),
-], ids=['vit', 'swin', 'beit'])
+    lambda cp: dict(type='MixVisionTransformer', embed_dims=8,
+                    num_stages=2, num_layers=(1, 1), num_heads=(1, 2),
+                    patch_sizes=(7, 3), strides=(4, 2),
+                    sr_ratios=(4, 2), out_indices=(0, 1), with_cp=cp),
+    lambda cp: dict(type='PCPVT', embed_dims=(8, 16),
+                    num_heads=(1, 2), depths=(1, 1), sr_ratios=(4, 2),
+                    patch_sizes=(4, 2), out_indices=(0, 1),
+                    mlp_ratios=(4, 4), windows=(0, 0), with_cp=cp),
+], ids=['vit', 'swin', 'beit', 'mit', 'twins'])
 def test_transformer_with_cp_remat_equivalence(cfg_fn):
     import jax
     import jax.numpy as jnp
