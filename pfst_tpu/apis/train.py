@@ -164,6 +164,64 @@ class SupervisedTrainer:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def _merge_loaded(dst, src, logger=None, path=''):
+    """Partial-merge a restored pytree into ``dst`` (missing keys keep
+    the fresh init, unexpected/shape-mismatched keys are skipped with a
+    warning) — the mmcv ``load_checkpoint(strict=False)`` role."""
+    out = dict(dst)
+    for k, v in (src or {}).items():
+        here = f'{path}/{k}'
+        if k not in dst:
+            print_log(f'load_from: unexpected key {here} (skipped)',
+                      logger)
+            continue
+        if isinstance(dst[k], dict) and isinstance(v, dict):
+            out[k] = _merge_loaded(dst[k], v, logger, here)
+            continue
+        arr = jnp.asarray(v)
+        if arr.shape != jnp.shape(dst[k]):
+            print_log(
+                f'load_from: shape mismatch at {here} '
+                f'{arr.shape} vs {jnp.shape(dst[k])} (skipped)', logger)
+            continue
+        out[k] = arr.astype(jnp.asarray(dst[k]).dtype)
+    return out
+
+
+def load_weights_into_state(state, restored, logger=None):
+    """Warm-start ``state`` from a checkpoint WITHOUT touching the
+    optimizer state or step counter (the ``--load-from`` semantics;
+    ``resume_from`` restores everything instead).
+
+    The teacher (``ema_*``) and the frozen fdist reference
+    (``imnet_params``) are refreshed from the loaded student so DACS'
+    feature-distance regulariser compares against the *pretrained*
+    init, like the reference's frozen ImageNet model
+    (``dacs.py:151-161``), not a random one.
+    """
+    if hasattr(restored, 'params'):
+        src_params = restored.params
+        src_bs = getattr(restored, 'batch_stats', {})
+    elif isinstance(restored, dict) and 'params' in restored:
+        src_params = restored['params']
+        src_bs = restored.get('batch_stats', {})
+    else:
+        raise ValueError(
+            'unrecognised checkpoint structure for load_from '
+            '(want a train state or {"params": ...} tree)')
+    new_params = _merge_loaded(state.params, src_params, logger)
+    new_bs = _merge_loaded(state.batch_stats, src_bs, logger) \
+        if state.batch_stats else state.batch_stats
+    copy = lambda t: jax.tree.map(jnp.array, t)  # noqa: E731
+    updates = dict(params=new_params, batch_stats=new_bs)
+    if getattr(state, 'ema_params', None):
+        updates['ema_params'] = copy(new_params)
+        updates['ema_batch_stats'] = copy(new_bs)
+    if getattr(state, 'imnet_params', None):
+        updates['imnet_params'] = copy(new_params)
+    return state.replace(**updates)
+
+
 def _img_norm_from_pipeline(cfg) -> Dict[str, Any]:
     """Find the Normalize/ClipNormalize mean/std of the train pipeline."""
 
@@ -195,6 +253,7 @@ def build_algorithm(cfg):
 def train_segmentor(cfg,
                     work_dir: Optional[str] = None,
                     resume_from: Optional[str] = None,
+                    load_from: Optional[str] = None,
                     auto_resume: bool = False,
                     validate: bool = True,
                     seed: int = 0,
@@ -263,6 +322,19 @@ def train_segmentor(cfg,
         start_iter = int(state.step)
         print_log(f'resumed from {resume_from} @ iter {start_iter}',
                   logger)
+    else:
+        load_from = load_from or cfg.get('load_from')
+        if not load_from:
+            # mmseg ``pretrained='<local path>'`` behaves as a
+            # weights-only warm start too (converted checkpoints)
+            p = (cfg.model or {}).get('pretrained')
+            if isinstance(p, str) and osp.exists(osp.expanduser(p)):
+                load_from = p
+        if load_from:
+            state = load_weights_into_state(
+                state, load_checkpoint(load_from), logger)
+            print_log(f'loaded weights from {load_from} '
+                      '(optimizer/step fresh)', logger)
 
     log_interval = (cfg.get('log_config') or {}).get('interval', 50)
     ckpt_interval = (cfg.get('checkpoint_config') or {}).get(
@@ -411,13 +483,24 @@ def train_segmentor(cfg,
     return state
 
 
+_VAL_CACHE: dict = {}
+
+
 def evaluate_during_train(cfg, algo, state, eval_cfg, logger,
                           eval_fn=None):
     """(Dist)EvalHook equivalent (``eval_hooks.py:45-133``)."""
     if eval_fn is not None:
         return eval_fn(algo, state)
-    val_ds = build_dataset({**cfg.data['val'], 'test_mode': True})
-    loader = build_dataloader(val_ds, 1, 1, shuffle=False)
+    # build the val dataset/loader once per cfg, not per interval
+    # (every 4k iters the reference reuses its loader too)
+    cached = _VAL_CACHE.get(id(cfg))
+    if cached is None:
+        val_ds = build_dataset({**cfg.data['val'], 'test_mode': True})
+        loader = build_dataloader(val_ds, 1, 1, shuffle=False)
+        _VAL_CACHE.clear()  # one live training run at a time
+        _VAL_CACHE[id(cfg)] = (val_ds, loader)
+    else:
+        val_ds, loader = cached
     model = algo.get_model()
     variables = algo.student_variables(state)
     if jax.local_device_count() > 1:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +26,7 @@ def accuracy(pred: jnp.ndarray, target: jnp.ndarray, topk: int = 1,
         if thresh is not None:
             correct = correct & (pred_value > thresh)
     else:
-        _, idx = jax.lax.top_k(pred, topk)  # noqa: F821
+        _, idx = jax.lax.top_k(pred, topk)
         correct = jnp.any(idx == target[..., None], axis=-1)
     if ignore_index is not None:
         valid = (target != ignore_index)

@@ -13,7 +13,6 @@ def dice_loss(pred, target, valid_mask, smooth=1, exponent=2,
     """pred NHWC probs, target one-hot NHWC, valid (B,H,W)."""
     num_classes = pred.shape[-1]
     total = 0.0
-    count = 0
     for i in range(num_classes):
         if i == ignore_index:
             continue
@@ -22,8 +21,9 @@ def dice_loss(pred, target, valid_mask, smooth=1, exponent=2,
         if class_weight is not None:
             d = d * class_weight[i]
         total = total + d
-        count += 1
-    return total / max(num_classes, 1)
+    # mean over ALL classes (reference ``dice_loss.py`` divides by
+    # num_classes even when ignore_index drops one)
+    return total / num_classes
 
 
 def binary_dice_loss(pred, target, valid_mask, smooth=1, exponent=2):

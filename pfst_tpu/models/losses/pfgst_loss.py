@@ -157,9 +157,15 @@ class PFGSTLoss:
             h = int(logits_trg.shape[1] * self.downscale)
             w = int(logits_trg.shape[2] * self.downscale)
             logits_trg = _nearest(logits_trg, (h, w))
-            if logits_ema is not None:
-                logits_ema = _nearest(logits_ema, (h, w))
         size = (logits_trg.shape[1], logits_trg.shape[2])
+        if logits_ema is not None and \
+                tuple(logits_ema.shape[1:3]) != size:
+            # logits_ema comes from teacher encode_decode at INPUT
+            # resolution while logits_trg is head resolution — align
+            # them for cross_prob_type='ema' (the reference's ema path
+            # is unrunnable dev code: its view() at
+            # ``pfgst_loss.py:167-168`` assumes equal shapes)
+            logits_ema = _nearest(logits_ema, size)
 
         gt = _nearest(gt_src[..., None].astype(jnp.float32), size)
         gt = gt.astype(jnp.int32)               # (B,H,W,1)

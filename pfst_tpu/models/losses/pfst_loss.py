@@ -194,6 +194,10 @@ class PFSTLossV2:
             self.kernel_size, self.dilation)[..., 0]
         eroded = jnp.sum(unf_valid, axis=-1) == k2
         if self.border_margin is not None:
+            # deliberate reference parity: ``pfst_loss.py:295-297``
+            # only zeroes the TOP-LEFT and BOTTOM-RIGHT corner squares
+            # (``mask[:m, :m]`` / ``mask[-m:, -m:]``), not the full
+            # border strips — mirrored here verbatim, quirk included.
             m = self.border_margin
             rows = jnp.arange(h)[None, :, None]
             cols = jnp.arange(w)[None, None, :]

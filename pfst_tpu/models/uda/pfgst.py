@@ -334,6 +334,10 @@ class PFGST(UDADecorator):
             m_small = _resize(mix_masks[..., None], size=(fh, fw),
                               mode='nearest')
             mixed_ema = m_small * src_l + (1.0 - m_small) * ema_l
+            # deliberate reference parity (``pgst.py:284``):
+            # ``mixed_ema_feats = [None]*feat_level + [mixed]`` — the
+            # reference also drops every other teacher level here, so
+            # an aux loss reading a different level fails there too.
             ema_feats = tuple(
                 mixed_ema if i == lvl else None
                 for i in range(lvl + 1))

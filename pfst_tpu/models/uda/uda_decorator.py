@@ -75,6 +75,11 @@ class UDADecorator:
             ema_batch_stats=copy(batch_stats),
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            # frozen fdist reference = the INITIAL student (reference
+            # ``dacs.py`` deepcopies the pretrained model); meaningful
+            # only after a warm start — apis.train's
+            # load_weights_into_state refreshes this copy from the
+            # loaded weights so it is the pretrained init, not random
             imnet_params=copy(params) if enable_fdist else {})
 
     def ema_update(self, state: UDATrainState,

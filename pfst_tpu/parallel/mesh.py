@@ -56,10 +56,22 @@ def replicate_sharding(mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host-global batch with the leading dim over the mesh."""
+    """Place a batch with the leading dim over the mesh.
+
+    Single-process: a plain sharded device_put. Multi-host: each
+    process holds only ITS loader shard (rank-sharded in
+    ``datasets/builder.py``), so the global array is assembled from
+    the per-process locals — device_put of a host-local array onto a
+    mesh with non-addressable devices is not valid.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+            sh, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sh)  # noqa: E731
     return jax.tree.map(
-        lambda x: jax.device_put(x, sh)
+        lambda x: put(x)
         if hasattr(x, 'ndim') and x.ndim >= 1 else x, batch)
 
 

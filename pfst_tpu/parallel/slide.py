@@ -17,6 +17,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS
 
+# (id(model), windows shape, id(mesh)) -> jitted runner. Keyed by
+# object identity: a dead model/mesh only strands a cache entry.
+_RUN_CACHE: dict = {}
+
 
 def window_grid(h_img: int, w_img: int, crop: Tuple[int, int],
                 stride: Tuple[int, int]):
@@ -61,19 +65,27 @@ def sharded_slide_inference(model, variables, scene: jnp.ndarray,
         for y1, x1 in coords_padded
     ])
 
-    @jax.jit
-    def run(variables, wins):
-        def one_dev(wins_local):
-            def body(win):
-                logits, _ = model.apply(variables, win[None],
-                                        method=model.encode_decode)
-                return logits[0]
+    # jit once per (model, window shape, mesh): a per-call @jax.jit
+    # would recompile the full forward for every scene
+    key = (id(model), windows.shape, id(mesh))
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        def _run(variables, wins):
+            def one_dev(wins_local):
+                def body(win):
+                    logits, _ = model.apply(variables, win[None],
+                                            method=model.encode_decode)
+                    return logits[0]
 
-            return jax.lax.map(body, wins_local)
+                return jax.lax.map(body, wins_local)
 
-        from .mesh import _shard_map
-        return _shard_map(one_dev, mesh=mesh, in_specs=P(DATA_AXIS),
-                          out_specs=P(DATA_AXIS))(wins)
+            from .mesh import _shard_map
+            return _shard_map(one_dev, mesh=mesh,
+                              in_specs=P(DATA_AXIS),
+                              out_specs=P(DATA_AXIS))(wins)
+
+        run = jax.jit(_run)
+        _RUN_CACHE[key] = run
 
     wins_dev = jax.device_put(
         jnp.asarray(windows), NamedSharding(mesh, P(DATA_AXIS)))

@@ -100,10 +100,19 @@ def shard_state(state, mesh: Mesh, rules=DEFAULT_TP_RULES):
 
 
 def shard_batch_2d(batch, mesh: Mesh):
-    """Batch dim over ``data``, replicated over ``model``."""
+    """Batch dim over ``data``, replicated over ``model``.
+
+    Multi-host: assemble the global array from per-process loader
+    shards (see ``mesh.shard_batch``).
+    """
     sh = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+            sh, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sh)  # noqa: E731
     return jax.tree.map(
-        lambda x: jax.device_put(x, sh)
+        lambda x: put(x)
         if hasattr(x, 'ndim') and x.ndim >= 1 else x, batch)
 
 

@@ -118,3 +118,18 @@ def test_pseudo_label_and_local_pseudo_feat_losses():
                          'loss_sim_pos'}
     for v in out2.values():
         assert np.isfinite(np.asarray(v))
+
+
+def test_accuracy_topk():
+    import jax.numpy as jnp
+
+    from pfst_tpu.models.losses.accuracy import accuracy
+
+    pred = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 5),
+                       np.float32)
+    target = jnp.asarray(np.random.RandomState(1).randint(0, 5, (2, 8, 8)))
+    top1 = float(accuracy(pred, target, topk=1))
+    top3 = float(accuracy(pred, target, topk=3))
+    top5 = float(accuracy(pred, target, topk=5))
+    assert 0.0 <= top1 <= top3 <= top5 <= 100.0 + 1e-5
+    assert abs(top5 - 100.0) < 1e-3

@@ -163,3 +163,25 @@ def test_pfgst_margin_loss(rng):
                  'loss_sim_neg'):
         np.testing.assert_allclose(float(ours[name]), theirs[name],
                                    rtol=2e-4, atol=2e-6, err_msg=name)
+
+
+def test_pfgst_loss_cross_prob_ema_mismatched_resolution(rng):
+    """cross_prob_type='ema' without downscale: logits_ema arrives at
+    input resolution while logits_trg is head resolution — the loss
+    must align them (the reference's ema path is unrunnable dev code
+    with this shape combination)."""
+    from pfst_tpu.models.losses.pfgst_loss import PFGSTLoss
+
+    t = to_nhwc(make_tensors(rng))
+    assert t['logits_ema'].shape[1] != t['logits_trg'].shape[1]
+    loss = PFGSTLoss(
+        kernel_size=3, dilation=1, top_k=3,
+        weights={'src_pos': 0.1, 'src_neg': 0.1, 'sim_pos': 0.1,
+                 'sim_neg': 0.1, 'src_pos_std': 0.1,
+                 'src_neg_std': 0.1},
+        sim_type='cosine', feat_level=None, detach_unfold=True,
+        cross_prob_type='ema', downscale=None)
+    out = loss(t)
+    for name, val in out.items():
+        if name.startswith('loss'):
+            assert np.isfinite(float(val)), name

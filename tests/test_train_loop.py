@@ -196,3 +196,62 @@ def test_lazy_log_vars_copy_routes():
     lv3 = LazyLogVars({'a': jnp.float32(0.5)})
     assert 'a' in lv3 and len(lv3) == 1 and list(lv3.keys()) == ['a']
     assert sorted(dict(lv).items()) == sorted(lv.items())
+
+
+def test_load_from_warm_start(tmp_path):
+    """--load-from loads weights only: params/batch_stats (and the
+    ema/imnet copies) come from the checkpoint, optimizer state and
+    step stay fresh; missing subtrees keep their fresh init."""
+    import copy as _copy
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pfst_tpu.apis.train import (SupervisedTrainer,
+                                     load_weights_into_state)
+    from pfst_tpu.core.checkpoint import load_checkpoint, \
+        save_checkpoint
+    from pfst_tpu.models import build_segmentor
+
+    algo = SupervisedTrainer(build_segmentor(tiny_model_cfg()))
+    tx = optax.adamw(1e-3)
+    donor = algo.init_state(jax.random.PRNGKey(7), (1, 32, 32, 3), tx)
+    donor = donor.replace(step=jnp.asarray(123, jnp.int32))
+    save_checkpoint(str(tmp_path), 123, jax.device_get(donor))
+    ckpt = str(tmp_path / 'ckpt' / '123')
+
+    fresh = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    # make the fresh state carry ema/imnet copies like a UDA state
+    fresh = fresh.replace(
+        ema_params=jax.tree.map(jnp.array, fresh.params),
+        imnet_params=jax.tree.map(jnp.array, fresh.params))
+
+    loaded = load_weights_into_state(fresh, load_checkpoint(ckpt))
+    d0 = jax.tree.leaves(donor.params)[0]
+    assert np.allclose(np.asarray(jax.tree.leaves(loaded.params)[0]),
+                       np.asarray(d0))
+    # teacher and frozen-fdist copies refreshed from the LOADED weights
+    assert np.allclose(
+        np.asarray(jax.tree.leaves(loaded.ema_params)[0]),
+        np.asarray(d0))
+    assert np.allclose(
+        np.asarray(jax.tree.leaves(loaded.imnet_params)[0]),
+        np.asarray(d0))
+    # optimizer state and step untouched
+    assert int(loaded.step) == 0
+
+    # partial load: strip the decode head -> head keeps fresh init
+    raw = load_checkpoint(ckpt)
+    partial = {'params': _copy.deepcopy(raw['params'])}
+    partial['params'].pop('decode_head_mod')
+    loaded2 = load_weights_into_state(fresh, partial)
+    f_head = jax.tree.leaves(fresh.params['decode_head_mod'])[0]
+    assert np.allclose(
+        np.asarray(jax.tree.leaves(
+            loaded2.params['decode_head_mod'])[0]),
+        np.asarray(f_head))
+    assert np.allclose(
+        np.asarray(jax.tree.leaves(
+            loaded2.params['backbone_mod'])[0]),
+        np.asarray(jax.tree.leaves(donor.params['backbone_mod'])[0]))

@@ -118,6 +118,7 @@ def main(args=None):
         cfg,
         work_dir=work_dir,
         resume_from=args.resume_from,
+        load_from=args.load_from,
         auto_resume=args.auto_resume,
         validate=not args.no_validate,
         seed=seed,
