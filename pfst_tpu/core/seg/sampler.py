@@ -55,11 +55,19 @@ class OHEMPixelSampler(BasePixelSampler):
             gt_prob = jnp.where(valid, gt_prob, 1.0)
 
             def per_image(p, v):
-                flat = p.reshape(-1)
+                # sort VALID probs only (ignored pixels pushed to the
+                # end as +inf) and clamp the kept-index into the valid
+                # range, mirroring mmseg's
+                # ``sort_prob[min(batch_kept, numel - 1)]`` — indexing
+                # into the invalid tail would yield threshold 1.0 and
+                # keep every pixel whenever #valid < min_kept
+                vf = v.reshape(-1)
+                flat = jnp.where(vf, p.reshape(-1), jnp.inf)
                 sort_p = jnp.sort(flat)
-                k = jnp.minimum(
-                    jnp.maximum(jnp.sum(v) * 0 + kept, 1), n_px) - 1
-                threshold = jnp.maximum(sort_p[k], self.thresh)
+                nv = jnp.sum(vf.astype(jnp.int32))
+                k = jnp.clip(jnp.minimum(kept, nv - 1), 0, n_px - 1)
+                min_thr = jnp.where(nv > 0, sort_p[k], 0.0)
+                threshold = jnp.maximum(min_thr, self.thresh)
                 return (p < threshold)
 
             sel = jax.vmap(per_image)(gt_prob, valid)

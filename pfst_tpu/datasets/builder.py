@@ -194,6 +194,19 @@ class DataLoader:
         stop = threading.Event()
         pool = self._get_pool()
 
+        def put_or_stop(item) -> bool:
+            """Bounded-queue put that aborts when the consumer left —
+            a plain ``q.put`` would block forever on an abandoned
+            iterator (e.g. a hook breaking out after N batches),
+            leaking the producer thread and its queued batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for bi in range(nb):
@@ -204,16 +217,24 @@ class DataLoader:
                     samples = list(
                         pool.map(self._map_fn,
                                  [int(i) for i in sel]))
-                    q.put(collate(samples))
-            finally:
-                q.put(None)
+                    if not put_or_stop(('batch', collate(samples))):
+                        return
+            except BaseException as e:  # surface, never swallow
+                put_or_stop(('error', e))
+                return
+            put_or_stop(('done', None))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, item = q.get()
+                if kind == 'error':
+                    # re-raise the pipeline failure in the consumer:
+                    # silently truncating the epoch would hang the
+                    # infinite train loader with no diagnostic
+                    raise item
+                if kind == 'done':
                     break
                 yield item
         finally:

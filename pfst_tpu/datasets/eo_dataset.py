@@ -130,6 +130,14 @@ class EODataset(CustomDataset):
         gt = imread(info['ann']['seg_map'], unchanged=True)
         if gt.ndim == 3:
             gt = gt[..., 0]
+        # custom-classes remap BEFORE reduce_zero, like the base
+        # CustomDataset getter — skipping it would score predictions
+        # (remapped id space) against raw gt ids
+        if self.label_map is not None:
+            out = gt.copy()
+            for old_id, new_id in self.label_map.items():
+                out[gt == old_id] = new_id
+            gt = out
         if self.gt_loader_reduce_zero:
             gt = gt.astype(np.int32)
             gt[gt == 0] = 255

@@ -85,6 +85,14 @@ class Resize:
         results['scale'] = scale
 
     def __call__(self, results):
+        if 'scale' not in results and \
+                isinstance(results.get('scale_factor'), (int, float)):
+            # ratio-mode TTA (``MultiScaleFlipAug(img_scale=None,
+            # img_ratios=...)``): derive the pixel scale from the
+            # image shape like mmseg's Resize scale_factor path
+            h, w = results['img'].shape[:2]
+            sf = float(results['scale_factor'])
+            results['scale'] = (int(w * sf), int(h * sf))
         if 'scale' not in results or self.override_scale:
             self._random_scale(results)
         img = results['img']

@@ -301,21 +301,35 @@ class EMAHead(nn.Module):
                        norm_cfg=self.norm_cfg, dtype=self.dtype,
                        name='ema_in')(x, train=train)
         b, h, w, c = y.shape
-        bases = self.param('bases',
-                           nn.initializers.normal(1.0 / c**0.5),
-                           (1, self.num_bases, c))
-        mu = jnp.tile(bases, (b, 1, 1)).astype(jnp.float32)
+        # EMANet's bases are a NON-learned buffer (mmseg EMAModule
+        # registers them as a buffer and moving-averages them with
+        # ``momentum`` per train step, EM iterations under no_grad) —
+        # kept in 'batch_stats' so the train steps' mutable machinery
+        # and the cross-replica pmean apply to them like BN stats.
+        bases_var = self.variable(
+            'batch_stats', 'bases',
+            lambda: jax.random.normal(
+                self.make_rng('params'),
+                (1, self.num_bases, c)) * (1.0 / c**0.5))
+        mu = jnp.tile(bases_var.value, (b, 1, 1)).astype(jnp.float32)
         feat = y.reshape(b, h * w, c).astype(jnp.float32)
+        feat_em = jax.lax.stop_gradient(feat)  # EM runs in no_grad
         for _ in range(self.num_stages):
             z = jax.nn.softmax(
-                jnp.einsum('bnc,bkc->bnk', feat, mu,
+                jnp.einsum('bnc,bkc->bnk', feat_em, mu,
                            preferred_element_type=jnp.float32),
                 axis=-1)
             z = z / (z.sum(axis=1, keepdims=True) + 1e-6)
-            mu = jnp.einsum('bnk,bnc->bkc', z, feat,
+            mu = jnp.einsum('bnk,bnc->bkc', z, feat_em,
                             preferred_element_type=jnp.float32)
             mu = mu / (jnp.linalg.norm(mu, axis=-1,
                                        keepdims=True) + 1e-6)
+        if train and self.momentum > 0 and not self.is_initializing():
+            new = jnp.mean(mu, axis=0, keepdims=True)
+            new = new / (jnp.linalg.norm(new, axis=-1,
+                                         keepdims=True) + 1e-6)
+            bases_var.value = (1.0 - self.momentum) * bases_var.value \
+                + self.momentum * new
         z = jax.nn.softmax(
             jnp.einsum('bnc,bkc->bnk', feat, mu,
                        preferred_element_type=jnp.float32), axis=-1)

@@ -35,7 +35,8 @@ class EncHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, inputs, train: bool = False):
+    def __call__(self, inputs, train: bool = False,
+                 with_se: bool = False):
         feats = [inputs[i] for i in self.in_index]
         x = ConvModule(self.channels, 3, padding=1,
                        norm_cfg=self.norm_cfg, dtype=self.dtype,
@@ -50,9 +51,20 @@ class EncHead(nn.Module):
         y = x * gamma[:, None, None, :]
         logits = ClsSeg(self.num_classes, self.dropout_ratio,
                         dtype=self.dtype, name='cls')(y, train=train)
-        # SE branch: image-level class presence logits (consumed by the
-        # segmentor when loss_se_decode is configured)
-        self.sow('intermediates', 'se_logits',
-                 nn.Dense(self.num_classes, dtype=self.dtype,
-                          name='se_layer')(enc))
+        # SE branch: image-level class presence logits; the segmentor's
+        # forward_train asks for them via ``with_se=True`` and applies
+        # ``loss_se_decode`` (reference ``enc_head.py:126-127,179-186``)
+        se_logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                             name='se_layer')(enc)
+        if with_se:
+            return logits, y, se_logits
         return logits, y
+
+    def se_onehot_labels(self, gt):
+        """gt (B, H, W) int -> class-presence onehot (B, num_classes)
+        float (``enc_head.py:159-177``; 255 falls outside the hist)."""
+        classes = jnp.arange(self.num_classes)[None, :]
+        present = jnp.any(
+            gt[:, :, :, None] == classes[:, None, None, :],
+            axis=(1, 2))
+        return present.astype(jnp.float32)

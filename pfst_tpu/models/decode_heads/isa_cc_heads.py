@@ -101,8 +101,13 @@ def _criss_cross(q, k, v):
     col = jnp.einsum('bqwc,bkwc->bwqk', q.transpose(0, 1, 2, 3),
                      k, preferred_element_type=jnp.float32)
     # col: for each (h,w) attend over H at same w -> shape (B,W,H,H)
-    energy = jnp.concatenate(
-        [row, col.transpose(0, 2, 1, 3)], axis=-1)  # (B,H,W,W+H)
+    col_t = col.transpose(0, 2, 1, 3)  # (B,Hq,W,Hk)
+    # the center pixel appears in BOTH the row and column slices;
+    # CCNet masks the column occurrence with -INF so the joint
+    # softmax counts it exactly once (the INF trick in CrissCross)
+    center = jnp.eye(h, dtype=bool)[None, :, None, :]
+    col_t = jnp.where(center, jnp.finfo(jnp.float32).min, col_t)
+    energy = jnp.concatenate([row, col_t], axis=-1)  # (B,H,W,W+H)
     attn = jax.nn.softmax(energy, axis=-1)
     a_row, a_col = attn[..., :w], attn[..., w:]
     out_row = jnp.einsum('bhqk,bhkc->bhqc', a_row.astype(v.dtype), v,
@@ -139,13 +144,19 @@ class CCHead(nn.Module):
                        name='conv_in')(x, train=train)
         c = y.shape[-1]
         gamma = self.param('gamma', nn.initializers.zeros, ())
-        for r in range(self.recurrence):
-            q = nn.Conv(c // 8, (1, 1), dtype=self.dtype,
-                        name=f'q{r}')(y)
-            k = nn.Conv(c // 8, (1, 1), dtype=self.dtype,
-                        name=f'k{r}')(y)
-            v = nn.Conv(c, (1, 1), dtype=self.dtype, name=f'v{r}')(y)
-            y = y + gamma * _criss_cross(q, k, v)
+        # ONE CrissCrossAttention applied recurrently with SHARED
+        # weights (mmcv CrissCrossAttention + the `for _ in
+        # range(recurrence)` loop) — per-step weights would double the
+        # parameters and break torch-checkpoint key mapping
+        q_conv = nn.Conv(c // 8, (1, 1), dtype=self.dtype,
+                         name='query_conv')
+        k_conv = nn.Conv(c // 8, (1, 1), dtype=self.dtype,
+                         name='key_conv')
+        v_conv = nn.Conv(c, (1, 1), dtype=self.dtype,
+                         name='value_conv')
+        for _ in range(self.recurrence):
+            y = y + gamma * _criss_cross(q_conv(y), k_conv(y),
+                                         v_conv(y))
         feats = ConvModule(self.channels, 3, padding=1,
                            norm_cfg=self.norm_cfg, dtype=self.dtype,
                            name='bottleneck')(

@@ -186,6 +186,13 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
 
     def __init__(self, discriminator=None, disc_losses=None,
                  gen_losses=None, **cfg):
+        if cfg.get('aux_losses'):
+            # only DomainAdaptor(V2) applies tensors-dict aux losses
+            # (reference: ``domain_adaptorv2.py`` alone consumes them);
+            # fail loudly instead of building-and-ignoring them
+            raise ValueError(
+                'DomainAdaptorAdv does not support aux_losses — use '
+                'gen_losses/disc_losses (or DomainAdaptorV2)')
         super().__init__(**cfg)
         self.discriminator = build_discriminator(
             dict(discriminator or

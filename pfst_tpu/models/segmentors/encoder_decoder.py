@@ -155,6 +155,30 @@ class EncoderDecoder(nn.Module):
                 losses.update(add_prefix(
                     {f'{k}.s{i}': v for k, v in stage.items()},
                     'decode'))
+        elif getattr(dh, 'use_se_loss', False):
+            # EncNet: the SE branch's image-level class-presence BCE
+            # (``enc_head.py:126-127,179-186``) from the same forward
+            feats = self.extract_feat(img, train=train)
+            logits, decoded, se_logits = dh(feats, train=train,
+                                            with_se=True)
+            out = {
+                'feats': feats,
+                'seg_logits': logits,
+                'decoded_features': decoded,
+                'aux_logits': tuple(
+                    h(feats, train=train)[0] for h in self.aux_heads),
+            }
+            losses.update(
+                add_prefix(
+                    _head_losses(dh, self._decode_losses, logits, gt,
+                                 seg_weight), 'decode'))
+            se_cfg = dict(dh.loss_se_decode or {})
+            se_w = se_cfg.get('loss_weight', 0.2)
+            onehot = dh.se_onehot_labels(gt)
+            p = se_logits.astype(jnp.float32)
+            bce = jnp.maximum(p, 0) - p * onehot + \
+                jnp.log1p(jnp.exp(-jnp.abs(p)))
+            losses['decode.loss_se'] = se_w * jnp.mean(bce)
         else:
             out = self(img, train=train)
             losses.update(

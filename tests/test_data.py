@@ -1,6 +1,7 @@
 """Data layer tests: pipelines, datasets, UDA pairing, dataloader."""
 import os
 import os.path as osp
+import time
 
 import cv2
 import numpy as np
@@ -279,3 +280,74 @@ def test_dataloader_zero_batch_guard(isprs_root):
                         seed=0, drop_last=True, infinite=True)
     with pytest.raises(ValueError, match='0 batches'):
         next(iter(loader))
+
+
+def test_dataloader_propagates_pipeline_errors():
+    """A failing sample must raise in the consumer, not silently
+    truncate the epoch (which would hang the infinite train loader)."""
+    from pfst_tpu.datasets.builder import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise FileNotFoundError(f'corrupt sample {i}')
+            return {'img': np.zeros((4, 4, 3), np.float32)}
+
+    loader = DataLoader(Broken(), samples_per_gpu=2,
+                        workers_per_gpu=1, shuffle=False)
+    with pytest.raises(FileNotFoundError, match='corrupt sample'):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_abandoned_iteration_does_not_leak_producer():
+    """Breaking out mid-epoch must unblock the producer thread."""
+    import threading
+
+    from pfst_tpu.datasets.builder import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {'img': np.zeros((4, 4, 3), np.float32)}
+
+    loader = DataLoader(DS(), samples_per_gpu=2, workers_per_gpu=1,
+                        shuffle=False)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
+
+
+def test_tta_ratio_mode_without_img_scale():
+    """MultiScaleFlipAug(img_scale=None, img_ratios=...) derives pixel
+    scales from the image shape (mmseg scale_factor mode)."""
+    from pfst_tpu.datasets.pipelines import Compose
+
+    pipeline = Compose([
+        dict(type='MultiScaleFlipAug', img_scale=None,
+             img_ratios=[0.5, 1.0], flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])
+    ])
+    img = np.random.RandomState(0).randint(
+        0, 255, (32, 48, 3), np.uint8)
+    out = pipeline(dict(img=img, img_shape=img.shape,
+                        ori_shape=img.shape, img_fields=['img'],
+                        seg_fields=[], filename=None,
+                        ori_filename=None))
+    shapes = [tuple(v.shape[:2]) for v in out['img']]
+    assert shapes == [(16, 24), (32, 48)], shapes

@@ -147,3 +147,79 @@ def test_twins_resnest_timm_backbones():
     v = tm.init({'params': RNG}, x)
     outs = tm.apply(v, x)
     assert outs[-1].shape[-1] == 2048
+
+
+def test_enc_head_se_loss_trains_se_layer():
+    """EncNet's SE branch: decode.loss_se appears in forward_train
+    losses and its gradient reaches the se_layer weights."""
+    from pfst_tpu.models import build_segmentor
+
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=18, num_stages=4,
+                      base_channels=4, stem_channels=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(type='EncHead', in_channels=(8, 16, 32),
+                         in_index=(1, 2, 3),
+                         input_transform='multiple_select', channels=8,
+                         num_codes=4, num_classes=5, norm_cfg=NORM,
+                         use_se_loss=True,
+                         loss_se_decode=dict(type='CrossEntropyLoss',
+                                             use_sigmoid=True,
+                                             loss_weight=0.2)),
+        train_cfg=dict(), test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    img = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                      jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 5, (2, 32, 32)))
+    variables = model.init({'params': RNG}, img, train=False)
+
+    def loss_fn(params):
+        (losses, _), _ = model.apply(
+            {'params': params,
+             'batch_stats': variables['batch_stats']}, img, gt,
+            train=True, mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(2)},
+            method=model.forward_train)
+        return losses['decode.loss_se'], losses
+
+    (se_loss, losses), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables['params'])
+    assert np.isfinite(float(se_loss)) and float(se_loss) > 0
+    g = grads['decode_head_mod']['se_layer']['kernel']
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_ema_head_bases_are_momentum_buffer():
+    """EMANet bases live in batch_stats and move by momentum during
+    train (not by gradient)."""
+    head = build_head(dict(
+        type='EMAHead', in_channels=64, in_index=3, channels=8,
+        ema_channels=16, num_bases=4, num_stages=2, momentum=0.5,
+        num_classes=5, norm_cfg=NORM))
+    x = _pyramid()
+    variables = head.init({'params': RNG}, x)
+    assert 'bases' in variables['batch_stats']
+    b0 = np.asarray(variables['batch_stats']['bases'])
+    _, upd = head.apply(variables, x, train=True,
+                        mutable=['batch_stats'],
+                        rngs={'dropout': jax.random.PRNGKey(1)})
+    b1 = np.asarray(upd['batch_stats']['bases'])
+    assert not np.allclose(b0, b1)  # moved by the EM momentum update
+    # eval does not move them
+    _, upd2 = head.apply(variables, x, train=False,
+                         mutable=['batch_stats'])
+    np.testing.assert_allclose(
+        np.asarray(upd2['batch_stats']['bases']), b0)
+
+
+def test_cc_head_shares_attention_weights_across_recurrence():
+    head = build_head(dict(
+        type='CCHead', in_channels=64, in_index=3, channels=8,
+        recurrence=2, num_classes=5, norm_cfg=NORM))
+    variables = head.init({'params': RNG}, _pyramid())
+    keys = set(variables['params'].keys())
+    assert 'query_conv' in keys and 'q0' not in keys and \
+        'q1' not in keys

@@ -216,3 +216,32 @@ def test_gaussian_blur_matches_scipy_reflect101():
     ref = gaussian_filter1d(ref, sigma, axis=1, mode='mirror',
                             truncate=6 / sigma)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_ohem_thresh_with_few_valid_pixels():
+    """#valid < min_kept: the threshold must come from the highest
+    VALID gt-prob, not from an ignored pixel's sentinel 1.0."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfst_tpu.core.seg import OHEMPixelSampler
+
+    rs = np.random.RandomState(0)
+    logit = jnp.asarray(rs.randn(1, 8, 8, 4), np.float32)
+    label = np.full((1, 8, 8), 255, np.int64)
+    label[0, :2, :2] = rs.randint(0, 4, (2, 2))  # only 4 valid pixels
+    label = jnp.asarray(label)
+    sampler = OHEMPixelSampler(thresh=0.99, min_kept=100)
+    w = np.asarray(sampler.sample(logit, label))
+    # all 4 valid pixels kept (threshold >= their max prob), none of
+    # the 60 ignored ones
+    assert w.sum() == 4
+    assert (w[0, :2, :2] == 1).all()
+
+    # sanity: when plenty of pixels are valid the easy ones drop
+    label2 = jnp.asarray(rs.randint(0, 4, (1, 8, 8)))
+    conf = jnp.zeros((1, 8, 8, 4), np.float32).at[..., 0].set(50.0)
+    label2 = jnp.zeros((1, 8, 8), jnp.int32)  # gt prob ~1 everywhere
+    sampler2 = OHEMPixelSampler(thresh=0.7, min_kept=5)
+    w2 = np.asarray(sampler2.sample(conf, label2))
+    assert w2.sum() <= 5
