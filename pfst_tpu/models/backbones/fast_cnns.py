@@ -444,7 +444,23 @@ class ICNet(nn.Module):
         mid = ConvModule(self.out_channels[1], 1,
                          norm_cfg=self.norm_cfg, dtype=self.dtype,
                          name='mid_proj')(feats[1], train=train)
+        # global-context stage over the deepest feature (reference
+        # ``icnet.py``: PSPModule pooling (1,2,3,6) -> psp_out_channels
+        # bottleneck) — previously psp_out_channels was a dead knob
+        from ..decode_heads.psp_head import PPM
+        deep = feats[-1]
+        psp_outs = [deep] + PPM((1, 2, 3, 6),
+                                self.psp_out_channels,
+                                self.align_corners,
+                                norm_cfg=self.norm_cfg,
+                                dtype=self.dtype,
+                                name='psp')(deep, train=train)
+        deep = ConvModule(self.psp_out_channels, 3, padding=1,
+                          norm_cfg=self.norm_cfg, dtype=self.dtype,
+                          name='psp_bottleneck')(
+                              jnp.concatenate(psp_outs, axis=-1),
+                              train=train)
         low = ConvModule(self.out_channels[2], 1,
                          norm_cfg=self.norm_cfg, dtype=self.dtype,
-                         name='low_proj')(feats[-1], train=train)
+                         name='low_proj')(deep, train=train)
         return (hi, mid, low)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import BACKBONES
+from .beit import drop_path
 
 
 class EfficientAttention(nn.Module):
@@ -79,17 +80,24 @@ class MiTBlock(nn.Module):
     num_heads: int
     sr_ratio: int
     mlp_ratio: int = 4
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, hw, train: bool = False):
+        def _dp(z):
+            if not train or self.drop_path_rate == 0.0:
+                return z
+            return drop_path(z, self.drop_path_rate, False,
+                             self.make_rng('dropout'))
+
         y = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
-        x = x + EfficientAttention(self.dim, self.num_heads,
-                                   self.sr_ratio, dtype=self.dtype,
-                                   name='attn')(y, hw, train=train)
+        x = x + _dp(EfficientAttention(self.dim, self.num_heads,
+                                       self.sr_ratio, dtype=self.dtype,
+                                       name='attn')(y, hw, train=train))
         y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
-        x = x + MixFFN(self.dim, self.mlp_ratio, dtype=self.dtype,
-                       name='ffn')(y, hw, train=train)
+        x = x + _dp(MixFFN(self.dim, self.mlp_ratio, dtype=self.dtype,
+                           name='ffn')(y, hw, train=train))
         return x
 
 
@@ -120,6 +128,9 @@ class MixVisionTransformer(nn.Module):
         # (self, x, hw, train): hw is a static python tuple
         block_cls = (nn.remat(MiTBlock, static_argnums=(2, 3))
                      if self.with_cp else MiTBlock)
+        import numpy as np
+        dpr = np.linspace(0, self.drop_path_rate,
+                          sum(self.num_layers[:self.num_stages]))
         for i in range(self.num_stages):
             dim = self.embed_dims * self.num_heads[i]
             p = self.patch_sizes[i]
@@ -132,8 +143,10 @@ class MixVisionTransformer(nn.Module):
                                name=f'embed_norm{i}')(
                                    x.reshape(b, h * w, c))
             for j in range(self.num_layers[i]):
+                blk_idx = sum(self.num_layers[:i]) + j
                 seq = block_cls(dim, self.num_heads[i],
                                 self.sr_ratios[i], self.mlp_ratio,
+                                drop_path_rate=float(dpr[blk_idx]),
                                 dtype=self.dtype,
                                 name=f'stage{i}_block{j}')(
                                     seq, (h, w), train)

@@ -39,6 +39,11 @@ class SplitAttentionConv(nn.Module):
         gap = jnp.mean(splits.sum(axis=3), axis=(1, 2))  # (b, c)
         inter = max(c * r // self.reduction_factor, 32)
         att = nn.Dense(inter, dtype=self.dtype, name='fc1')(gap)
+        # mmcv SplAtConv2d: fc1 -> bn1 -> relu -> fc2 — the norm keeps
+        # the attention logits scaled before the radix softmax
+        att = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype,
+                           name='fc1_bn')(att)
         att = nn.relu(att)
         att = nn.Dense(c * r, dtype=self.dtype, name='fc2')(att)
         att = jax.nn.softmax(att.reshape(b, r, c), axis=1)

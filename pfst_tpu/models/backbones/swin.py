@@ -16,6 +16,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..builder import BACKBONES
+from .beit import drop_path
 
 
 def window_partition(x, ws):
@@ -46,6 +47,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    qkv_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,8 +55,8 @@ class WindowAttention(nn.Module):
         bnw, n, c = x.shape
         ws = self.window_size
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype,
-                       name='qkv')(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name='qkv')(x)
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, hd).transpose(
             2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -87,10 +89,18 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: bool = False
     mlp_ratio: int = 4
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def _dp(z):
+            # stochastic depth on each residual branch
+            if not train or self.drop_path_rate == 0.0:
+                return z
+            return drop_path(z, self.drop_path_rate, False,
+                             self.make_rng('dropout'))
         b, h, w, c = x.shape
         ws = self.window_size
         pad_h = (ws - h % ws) % ws
@@ -107,19 +117,20 @@ class SwinBlock(nn.Module):
             mask = None
         windows = window_partition(y, ws)
         attn = WindowAttention(self.dim, self.num_heads, ws,
+                               qkv_bias=self.qkv_bias,
                                dtype=self.dtype,
                                name='attn')(windows, mask, train=train)
         y = window_reverse(attn, ws, hp, wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w, :]
-        x = shortcut + y
+        x = shortcut + _dp(y)
         y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
         hdim = self.dim * self.mlp_ratio
         y = nn.Dense(hdim, dtype=self.dtype, name='fc1')(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name='fc2')(y)
-        return x + y
+        return x + _dp(y)
 
 
 def _attn_mask(hp, wp, ws, shift):
@@ -165,6 +176,8 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name='patch_embed')(x)
         if self.patch_norm:
             x = nn.LayerNorm(dtype=self.dtype, name='patch_norm')(x)
+        # linearly spaced stochastic-depth schedule over ALL blocks
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outs = []
         for i, depth in enumerate(self.depths):
             dim = self.embed_dims * 2**i
@@ -184,9 +197,12 @@ class SwinTransformer(nn.Module):
             block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
                          if self.with_cp else SwinBlock)
             for j in range(depth):
+                blk_idx = sum(self.depths[:i]) + j
                 x = block_cls(dim, self.num_heads[i],
                               self.window_size, shift=bool(j % 2),
                               mlp_ratio=self.mlp_ratio,
+                              qkv_bias=self.qkv_bias,
+                              drop_path_rate=float(dpr[blk_idx]),
                               dtype=self.dtype,
                               name=f'stage{i}_block{j}')(x, train)
             if i in self.out_indices:

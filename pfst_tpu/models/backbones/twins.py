@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..builder import BACKBONES
+from .beit import drop_path
 from .mit import EfficientAttention, MixFFN
 
 
@@ -77,10 +78,17 @@ class TwinsBlock(nn.Module):
     sr_ratio: int = 1
     window_size: int = 0  # >0 -> locally-grouped attention
     mlp_ratio: int = 4
+    drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, seq, hw, train: bool = False):
+        def _dp(z):
+            if not train or self.drop_path_rate == 0.0:
+                return z
+            return drop_path(z, self.drop_path_rate, False,
+                             self.make_rng('dropout'))
+
         y = nn.LayerNorm(dtype=self.dtype, name='norm1')(seq)
         if self.window_size > 0:
             attn = LocalAttention(self.dim, self.num_heads,
@@ -90,10 +98,11 @@ class TwinsBlock(nn.Module):
             attn = EfficientAttention(self.dim, self.num_heads,
                                       self.sr_ratio, dtype=self.dtype,
                                       name='attn')(y, hw, train=train)
-        seq = seq + attn
+        seq = seq + _dp(attn)
         y = nn.LayerNorm(dtype=self.dtype, name='norm2')(seq)
-        seq = seq + MixFFN(self.dim, self.mlp_ratio, dtype=self.dtype,
-                           name='ffn')(y, hw, train=train)
+        seq = seq + _dp(MixFFN(self.dim, self.mlp_ratio,
+                               dtype=self.dtype,
+                               name='ffn')(y, hw, train=train))
         return seq
 
 
@@ -108,6 +117,7 @@ class PCPVT(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     mlp_ratios: Sequence[int] = (8, 8, 4, 4)
     windows: Sequence[int] = (0, 0, 0, 0)  # SVT overrides
+    drop_path_rate: float = 0.0
     norm_cfg: Optional[dict] = None
     with_cp: bool = False
     pretrained: Optional[str] = None
@@ -120,6 +130,8 @@ class PCPVT(nn.Module):
         # (self, seq, hw, train): hw is a static python tuple
         block_cls = (nn.remat(TwinsBlock, static_argnums=(2, 3))
                      if self.with_cp else TwinsBlock)
+        import numpy as np
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
         for i in range(len(self.depths)):
             p = self.patch_sizes[i]
             dim = self.embed_dims[i]
@@ -131,9 +143,11 @@ class PCPVT(nn.Module):
                                    x.reshape(b, h * w, c))
             for j in range(self.depths[i]):
                 win = self.windows[i] if j % 2 == 0 else 0
+                blk_idx = sum(self.depths[:i]) + j
                 seq = block_cls(dim, self.num_heads[i],
                                 self.sr_ratios[i], window_size=win,
                                 mlp_ratio=self.mlp_ratios[i],
+                                drop_path_rate=float(dpr[blk_idx]),
                                 dtype=self.dtype,
                                 name=f's{i}_b{j}')(seq, (h, w), train)
                 if j == 0:

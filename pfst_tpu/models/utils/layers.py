@@ -57,7 +57,14 @@ class Norm(nn.Module):
             return nn.LayerNorm(
                 epsilon=cfg.pop('eps', 1e-6), dtype=self.dtype,
                 name='ln')(x)
-        if kind in ('IN', 'none', None):
+        if kind == 'IN':
+            # InstanceNorm = GroupNorm with one channel per group
+            # (was silently a pass-through before)
+            return nn.GroupNorm(
+                num_groups=None, group_size=1,
+                epsilon=cfg.pop('eps', 1e-5), dtype=self.dtype,
+                name='in')(x)
+        if kind in ('none', None):
             return x
         raise ValueError(f'unsupported norm type {kind}')
 

@@ -121,7 +121,17 @@ def merge_dict(base: dict, child: dict, allow_list_keys: bool = False):
             continue
         if (isinstance(value, dict) and key in base
                 and not value.pop(DELETE_KEY, False)):
-            if not isinstance(base[key], dict):
+            if (isinstance(base[key], list) and allow_list_keys
+                    and value and all(
+                        isinstance(k, str) and k.isdigit()
+                        for k in value)):
+                # dotted numeric overrides into a list
+                # (``--cfg-options data.train.pipeline.0.x=y``):
+                # recurse so the digit-key branch above indexes the
+                # list instead of clobbering it with {'0': ...}
+                base[key] = merge_dict(base[key], value,
+                                       allow_list_keys)
+            elif not isinstance(base[key], dict):
                 base[key] = value
             else:
                 base[key] = merge_dict(base[key], value, allow_list_keys)

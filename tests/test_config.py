@@ -63,3 +63,19 @@ def test_base_model_configs_build(path):
     cfg = Config.fromfile(path)
     model = build_segmentor(dict(cfg.model))
     assert model.num_classes == cfg.model['decode_head']['num_classes']
+
+
+def test_cfg_options_list_index_override():
+    """Dotted numeric --cfg-options index into pipeline lists instead
+    of replacing the list with a {'0': ...} dict (mmcv semantics)."""
+    from pfst_tpu.utils.config import Config
+
+    cfg = Config(dict(data=dict(train=dict(pipeline=[
+        dict(type='LoadImageFromFile'),
+        dict(type='Resize', img_scale=(40, 40)),
+    ]))))
+    cfg.merge_from_dict({'data.train.pipeline.1.img_scale': (64, 64)})
+    pipe = cfg.data['train']['pipeline']
+    assert isinstance(pipe, list) and len(pipe) == 2
+    assert pipe[0]['type'] == 'LoadImageFromFile'
+    assert tuple(pipe[1]['img_scale']) == (64, 64)

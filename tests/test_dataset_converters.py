@@ -208,3 +208,27 @@ def test_coco_stuff10k_converter(tmp_path):
     np.testing.assert_array_equal(
         out[:2], np.array([[1, 12, 12, 25], [171, 2, 3, 81]], np.uint8))
     assert (out_dir / 'images' / 'test2014' / 'x2.jpg').exists()
+
+
+def test_isprs_color_semantics():
+    """ISPRS label colors map to the right class ids: building is RGB
+    blue, clutter RGB red (the table is BGR because cv2 reads BGR —
+    regression for a swapped building<->clutter / low-veg<->car map)."""
+    import isprs
+
+    # compose a label tile in RGB, convert to the BGR layout cv2 gives
+    rgb = {
+        'impervious': [255, 255, 255], 'building': [0, 0, 255],
+        'low_veg': [0, 255, 255], 'tree': [0, 255, 0],
+        'car': [255, 255, 0], 'clutter': [255, 0, 0],
+    }
+    names = list(rgb)
+    tile_rgb = np.concatenate(
+        [np.tile(np.asarray(v, np.uint8), (2, 3, 1))
+         for v in rgb.values()], axis=0)  # (12, 3, 3)
+    tile_bgr = tile_rgb[..., ::-1]
+    idx = isprs.rgb_label_to_index(tile_bgr)
+    # raw ids: 0=boundary, then CLASSES order starting at 1
+    for i, name in enumerate(names):
+        got = np.unique(idx[i * 2:(i + 1) * 2])
+        assert list(got) == [i + 1], (name, got)

@@ -451,3 +451,42 @@ def test_swin_official_naming_detected_and_converted():
             assert k in node, f'converter missed {"/".join(path)}'
             node = node[k]
         assert np.asarray(node).shape == leaf.shape, path
+
+
+def test_swin_patch_merging_unfold_order_correction():
+    """mmseg-layout PatchMerging weights (mmcv nn.Unfold channel
+    order) are permuted to this repo's position-major merge concat;
+    official-layout weights pass through untouched."""
+    from convert_torch_checkpoint import (_unfold_to_official_mat,
+                                          _unfold_to_official_vec)
+
+    C = 3
+    # encode (position p in official order, channel c) uniquely
+    official = np.array([p * 10 + c for p in range(4)
+                         for c in range(C)], np.float32)
+    # the same values laid out like mmcv's Unfold: index = c*4 + p_rm,
+    # where official positions (0,0),(1,0),(0,1),(1,1) have row-major
+    # window indices [0, 2, 1, 3]
+    mmcv = np.zeros(12, np.float32)
+    for p_official, p_rm in enumerate([0, 2, 1, 3]):
+        for c in range(C):
+            mmcv[c * 4 + p_rm] = p_official * 10 + c
+    np.testing.assert_array_equal(_unfold_to_official_vec(mmcv),
+                                  official)
+    # matrix form: each input column carries its official index
+    w_mmcv = np.tile(mmcv[None, :], (5, 1))
+    w_official = np.tile(official[None, :], (5, 1))
+    np.testing.assert_array_equal(_unfold_to_official_mat(w_mmcv),
+                                  w_official)
+
+    # end-to-end: the mmseg-named dict (mmcv layout) and the official
+    # dict (position-major) converge to the same flax kernel
+    sd_off = {'layers.0.downsample.reduction.weight':
+              torch.from_numpy(w_official)}
+    sd_mmseg = {'stages.0.downsample.reduction.weight':
+                torch.from_numpy(w_mmcv)}
+    p_off, _, _ = convert_transformer_state_dict(sd_off, 'swin')
+    p_mm, _, _ = convert_transformer_state_dict(sd_mmseg, 'swin')
+    np.testing.assert_array_equal(
+        np.asarray(p_off['backbone_mod']['merge_reduce1']['kernel']),
+        np.asarray(p_mm['backbone_mod']['merge_reduce1']['kernel']))

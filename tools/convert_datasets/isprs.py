@@ -52,14 +52,18 @@ VAIHINGEN_SPLITS = {
 }
 
 # BGR colors as read by cv2; class order mirrors the reference mapping
+# BGR rows, matching cv2/mmcv imread order — the reference's
+# ``potsdam.py:74-76`` table IS already BGR (mmcv.imread default).
+# ISPRS semantics: building is RGB blue -> BGR [255,0,0]; clutter is
+# RGB red -> BGR [0,0,255].
 COLOR_MAP = np.array([
     [0, 0, 0],         # 0: boundary/undefined -> ignored after reduce
-    [255, 255, 255],   # impervious surface
-    [0, 0, 255],       # building (BGR of red? keep ref scalar keys)
-    [0, 255, 255],
-    [0, 255, 0],
-    [255, 255, 0],
-    [255, 0, 0],
+    [255, 255, 255],   # impervious surface (white)
+    [255, 0, 0],       # building (RGB blue)
+    [255, 255, 0],     # low vegetation (RGB cyan)
+    [0, 255, 0],       # tree (green)
+    [0, 255, 255],     # car (RGB yellow)
+    [0, 0, 255],       # clutter (RGB red)
 ])
 
 

@@ -262,11 +262,37 @@ def official_to_mmseg(sd, arch):
     return dict(sd)
 
 
-def transformer_key_to_flax(key, arr, arch):
+def _unfold_to_official_vec(v):
+    """mmcv-PatchMerging channel order -> official/position-major.
+
+    mmcv merges 2x2 windows with ``nn.Unfold`` (channel-major,
+    window row-major: index = c*4 + p_rm), while the official Swin —
+    and this repo's ``swin.py`` merge concat — is position-major in
+    the order (0,0),(1,0),(0,1),(1,1): index = p*C + c. The position
+    permutation [0, 2, 1, 3] maps between the two window orders (the
+    reference ``swin2mmseg.py`` applies the inverse of this when going
+    official->mmseg).
+    """
+    c = v.shape[0] // 4
+    return v.reshape(c, 4)[:, [0, 2, 1, 3]].T.reshape(-1)
+
+
+def _unfold_to_official_mat(w):
+    """(out, 4C) reduction weight, mmcv order -> official order."""
+    out, in4 = w.shape
+    c = in4 // 4
+    return w.reshape(out, c, 4)[:, :, [0, 2, 1, 3]] \
+            .transpose(0, 2, 1).reshape(out, in4)
+
+
+def transformer_key_to_flax(key, arr, arch, official=False):
     """One mmseg-named backbone tensor -> [(collection, path, array)].
 
     Returns None for unknown keys, [] for deliberately dropped buffers
     (``relative_position_index`` is recomputed statically here).
+    ``official``: the weights came from an official release (renamed
+    by ``official_to_mmseg``), so Swin PatchMerging weights are already
+    position-major and need no unfold-order correction.
     """
     import numpy as np
     base = ['backbone_mod']
@@ -381,13 +407,15 @@ def transformer_key_to_flax(key, arr, arch):
         m = re.match(r'stages\.(\d+)\.downsample\.norm\.(weight|bias)$',
                      key)
         if m:
+            a = arr if official else _unfold_to_official_vec(arr)
             return [('params', base + [f'merge_norm{int(m.group(1)) + 1}',
-                                       _ln(m.group(2))], arr)]
+                                       _ln(m.group(2))], a)]
         m = re.match(r'stages\.(\d+)\.downsample\.reduction\.weight$',
                      key)
         if m:
+            a = arr if official else _unfold_to_official_mat(arr)
             return [('params', base + [f'merge_reduce{int(m.group(1)) + 1}',
-                                       'kernel'], _t(arr))]
+                                       'kernel'], _t(a))]
         m = re.match(r'stages\.(\d+)\.blocks\.(\d+)\.(.*)', key)
         if not m:
             return None
@@ -521,7 +549,8 @@ def convert_transformer_state_dict(state_dict, arch, prefix=''):
     for key, value in bare.items():
         arr = value.detach().cpu().numpy() if hasattr(value, 'detach') \
             else np.asarray(value)
-        entries = transformer_key_to_flax(key, arr, arch)
+        entries = transformer_key_to_flax(key, arr, arch,
+                                          official=official)
         if entries is None:
             skipped.append(key)
             continue

@@ -8,6 +8,7 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
+import cv2
 import numpy as np
 
 from pfst_tpu.utils import Config, DictAction
@@ -38,8 +39,19 @@ def main(args=None):
         s = dataset[idx]
         img = s['img'][0] if isinstance(s['img'], list) else s['img']
         ih, iw = img.shape[:2]
+        if ih > h or iw > w:
+            # image exceeds the exported input: run at export size and
+            # nearest-upsample the label map back — cropping would
+            # score a partial prediction against the full-size gt
+            small = cv2.resize(img, (w, h),
+                               interpolation=cv2.INTER_LINEAR)
+            pred = np.asarray(serve(small[None]))[0]
+            pred = cv2.resize(pred.astype(np.uint8), (iw, ih),
+                              interpolation=cv2.INTER_NEAREST)
+            results.extend(dataset.pre_eval(pred, idx))
+            continue
         pad = np.zeros((h, w, img.shape[2]), np.float32)
-        pad[:min(ih, h), :min(iw, w)] = img[:h, :w]
+        pad[:ih, :iw] = img
         pred = np.asarray(serve(pad[None]))[0]
         results.extend(dataset.pre_eval(pred[:ih, :iw], idx))
     res = dataset.evaluate(results, metric=a.eval)

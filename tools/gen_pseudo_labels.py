@@ -117,8 +117,13 @@ def main(args=None):
                                      method=model.encode_decode)
         return logits, states['feats'], states['decoded_features']
 
-    all_entropies = []
-    all_labels = []
+    # streaming per-class entropy histograms instead of holding every
+    # pixel of the corpus in RAM (Cityscapes-scale splits would need
+    # tens of GB); quantile resolution = log(C)/NBINS nats per bin
+    num_classes = cfg.model['decode_head']['num_classes']
+    NBINS = 8192
+    ent_max = float(np.log(num_classes)) + 1e-6
+    class_hist = np.zeros((num_classes, NBINS), np.int64)
     names = []
     sample_feats = []
     n = len(dataset)
@@ -132,8 +137,11 @@ def main(args=None):
         logits_np = np.asarray(logits[0]).transpose(2, 0, 1)  # CHW
         ent, prob = entropy_of(logits_np.astype(np.float32))
         label = prob.argmax(0)
-        all_entropies.append(ent)
-        all_labels.append(label)
+        bin_idx = np.minimum((ent / ent_max * NBINS).astype(np.int64),
+                             NBINS - 1)
+        class_hist += np.bincount(
+            label.ravel() * NBINS + bin_idx.ravel(),
+            minlength=num_classes * NBINS).reshape(num_classes, NBINS)
         name = osp.splitext(osp.basename(meta['filename']))[0]
         names.append(name)
         with h5py.File(osp.join(args.out_dir, f'{name}.h5'), 'w') as f:
@@ -150,17 +158,20 @@ def main(args=None):
         if (idx + 1) % 50 == 0:
             print(f'{idx + 1}/{n} images dumped')
 
-    # corpus-wide per-class entropy thresholds per ratio
-    num_classes = cfg.model['decode_head']['num_classes']
-    flat_ent = np.concatenate([e.reshape(-1) for e in all_entropies])
-    flat_lbl = np.concatenate([l.reshape(-1) for l in all_labels])
+    # corpus-wide per-class entropy thresholds per ratio, from the
+    # streamed histograms (threshold = upper edge of the first bin
+    # whose cumulative count reaches ratio * total)
+    bin_edges = np.linspace(0.0, ent_max, NBINS + 1)
+    cum = np.cumsum(class_hist, axis=1)
+    totals = cum[:, -1]
     thresholds = {}
     for ratio in RATIOS:
         per_class = np.full((num_classes,), np.inf, np.float32)
         for c in range(num_classes):
-            ent_c = flat_ent[flat_lbl == c]
-            if ent_c.size:
-                per_class[c] = np.quantile(ent_c, ratio)
+            if totals[c] > 0:
+                k = int(np.searchsorted(cum[c],
+                                        ratio * totals[c], 'left'))
+                per_class[c] = bin_edges[min(k + 1, NBINS)]
         thresholds[ratio] = per_class
     for name in names:
         with h5py.File(osp.join(args.out_dir, f'{name}.h5'), 'a') as f:

@@ -9,6 +9,7 @@ student weights are extracted automatically
 """
 import argparse
 import json
+import os
 import os.path as osp
 import sys
 
@@ -46,6 +47,17 @@ def main(args=None):
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
     logger = get_root_logger()
+
+    coordinator = os.environ.get('COORDINATOR_ADDRESS')
+    if args.launcher == 'jax' or coordinator:
+        # multi-host eval: same init as tools/train.py — must run
+        # before any jax API touches a backend
+        from pfst_tpu.parallel import init_distributed
+        np_env = os.environ.get('NUM_PROCESSES')
+        pid_env = os.environ.get('PROCESS_ID')
+        init_distributed(coordinator,
+                         int(np_env) if np_env else None,
+                         int(pid_env) if pid_env else None)
 
     if args.aug_test:
         tta = cfg.data['test']['pipeline'][1]
