@@ -7,7 +7,9 @@ model = dict(
         type='MixVisionTransformer', embed_dims=32,
         num_layers=(2, 2, 2, 2), num_heads=(1, 2, 5, 8),
         patch_sizes=(7, 3, 3, 3), strides=(4, 2, 2, 2),
-        sr_ratios=(8, 4, 2, 1), out_indices=(0, 1, 2, 3)),
+        sr_ratios=(8, 4, 2, 1), out_indices=(0, 1, 2, 3),
+        mlp_ratio=4, drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.1),
     decode_head=dict(
         type='SegformerHead', in_channels=(32, 64, 160, 256),
         in_index=(0, 1, 2, 3), input_transform='multiple_select',

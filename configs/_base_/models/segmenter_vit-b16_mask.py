@@ -7,7 +7,7 @@ model = dict(
                   num_heads=12, out_indices=(11,), final_norm=True),
     decode_head=dict(
         type='SegmenterMaskTransformerHead', in_channels=768,
-        in_index=0, input_transform='multiple_select', channels=768,
+        channels=768,
         embed_dims=768, num_layers=2, num_heads=12, num_classes=19,
         align_corners=False,
         loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,

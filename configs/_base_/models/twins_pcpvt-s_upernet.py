@@ -7,7 +7,7 @@ model = dict(
         type='PCPVT', embed_dims=(64, 128, 320, 512),
         num_heads=(1, 2, 5, 8), depths=(3, 4, 6, 3),
         sr_ratios=(8, 4, 2, 1), mlp_ratios=(8, 8, 4, 4),
-        out_indices=(0, 1, 2, 3)),
+        out_indices=(0, 1, 2, 3), drop_path_rate=0.2),
     decode_head=dict(
         type='UPerHead', in_channels=(64, 128, 320, 512),
         in_index=(0, 1, 2, 3), input_transform='multiple_select',

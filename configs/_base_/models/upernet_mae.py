@@ -6,7 +6,8 @@ model = dict(
     backbone=dict(
         type='MAE', img_size=640, patch_size=16, embed_dims=768,
         num_layers=12, num_heads=12, out_indices=(3, 5, 7, 11),
-        final_norm=False),
+        mlp_ratio=4, init_values=0.1, attn_drop_rate=0.0,
+        drop_path_rate=0.1, final_norm=False),
     neck=dict(type='Feature2Pyramid', embed_dim=768,
               rescales=(4, 2, 1, 0.5), norm_cfg=norm_cfg),
     decode_head=dict(

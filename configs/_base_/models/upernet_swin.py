@@ -6,6 +6,9 @@ model = dict(
     backbone=dict(
         type='SwinTransformer', embed_dims=96, depths=(2, 2, 6, 2),
         num_heads=(3, 6, 12, 24), window_size=7, patch_size=4,
+        pretrain_img_size=224, mlp_ratio=4, strides=(4, 2, 2, 2),
+        qkv_bias=True, patch_norm=True, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.3,
         out_indices=(0, 1, 2, 3)),
     decode_head=dict(
         type='UPerHead', in_channels=(96, 192, 384, 768),

@@ -6,7 +6,8 @@ model = dict(
     backbone=dict(
         type='VisionTransformer', img_size=512, patch_size=16,
         embed_dims=768, num_layers=12, num_heads=12,
-        out_indices=(2, 5, 8, 11), final_norm=True,
+        out_indices=(2, 5, 8, 11), final_norm=True, mlp_ratio=4,
+        drop_rate=0.0, interpolate_mode='bicubic',
         with_cls_token=True, output_cls_token=False),
     neck=dict(type='MultiLevelNeck',
               in_channels=(768, 768, 768, 768), out_channels=768,

@@ -19,6 +19,9 @@ from ...ops import resize
 def transform_inputs(inputs, in_index, input_transform: Optional[str],
                      align_corners: bool):
     """Select/concat multi-level features (``decode_head.py:155-180``)."""
+    if input_transform in ('resize_concat', 'multiple_select') and \
+            isinstance(in_index, int):
+        in_index = [in_index]  # tolerate scalar in_index in configs
     if input_transform == 'resize_concat':
         xs = [inputs[i] for i in in_index]
         ups = [
