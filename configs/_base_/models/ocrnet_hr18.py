@@ -1,7 +1,10 @@
-# OCRNet on HRNet-W18.
+# OCRNet on HRNet-W18: FCN -> OCR cascade (reference
+# ``ocrnet_hr18.py``; SyncBN -> BN is the documented TPU norm
+# substitution).
 norm_cfg = dict(type='BN', requires_grad=True)
 model = dict(
-    type='EncoderDecoder',
+    type='CascadeEncoderDecoder',
+    num_stages=2,
     pretrained=None,
     backbone=dict(
         type='HRNet', norm_cfg=norm_cfg,
@@ -17,20 +20,20 @@ model = dict(
             stage4=dict(num_modules=3, num_branches=4, block='BASIC',
                         num_blocks=(4, 4, 4, 4),
                         num_channels=(18, 36, 72, 144)))),
-    decode_head=dict(
-        type='OCRHead', in_channels=(18, 36, 72, 144),
-        in_index=(0, 1, 2, 3), input_transform='resize_concat',
-        channels=512, ocr_channels=256, dropout_ratio=-1,
-        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
-                         loss_weight=1.0)),
-    auxiliary_head=dict(
-        type='FCNHead', in_channels=(18, 36, 72, 144),
-        in_index=(0, 1, 2, 3), input_transform='resize_concat',
-        channels=270, kernel_size=1, num_convs=1, concat_input=False,
-        dropout_ratio=-1, num_classes=19, norm_cfg=norm_cfg,
-        align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
-                         loss_weight=0.4)),
+    decode_head=[
+        dict(type='FCNHead', in_channels=(18, 36, 72, 144),
+             in_index=(0, 1, 2, 3), input_transform='resize_concat',
+             channels=270, kernel_size=1, num_convs=1,
+             concat_input=False, dropout_ratio=-1, num_classes=19,
+             norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=0.4)),
+        dict(type='OCRHead', in_channels=(18, 36, 72, 144),
+             in_index=(0, 1, 2, 3), input_transform='resize_concat',
+             channels=512, ocr_channels=256, dropout_ratio=-1,
+             num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=1.0)),
+    ],
     train_cfg=dict(),
     test_cfg=dict(mode='whole'))

@@ -1,25 +1,28 @@
-# OCRHead on ResNet-50-V1c OS8 (capability mirror of the reference
-# _base_ model def of the same name).
+# OCRNet on ResNet-50-V1c OS8: FCN -> OCR cascade (reference
+# ``ocrnet_r50-d8.py``; SyncBN -> BN is the documented TPU norm
+# substitution).
 norm_cfg = dict(type='BN', requires_grad=True)
 model = dict(
-    type='EncoderDecoder',
+    type='CascadeEncoderDecoder',
+    num_stages=2,
     pretrained=None,
     backbone=dict(
         type='ResNetV1c', depth=50, num_stages=4,
         out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
         strides=(1, 2, 1, 1), norm_cfg=norm_cfg, norm_eval=False,
         style='pytorch', contract_dilation=True),
-    decode_head=dict(
-        type='OCRHead', in_channels=2048, in_index=3, channels=512,
-        dropout_ratio=0.1, num_classes=19, norm_cfg=norm_cfg,
-        align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
-                         loss_weight=1.0)),
-    auxiliary_head=dict(
-        type='FCNHead', in_channels=1024, in_index=2, channels=256,
-        num_convs=1, concat_input=False, dropout_ratio=0.1,
-        num_classes=19, norm_cfg=norm_cfg, align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
-                         loss_weight=0.4)),
+    decode_head=[
+        dict(type='FCNHead', in_channels=1024, in_index=2,
+             channels=256, num_convs=1, concat_input=False,
+             dropout_ratio=0.1, num_classes=19, norm_cfg=norm_cfg,
+             align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=0.4)),
+        dict(type='OCRHead', in_channels=2048, in_index=3,
+             channels=512, ocr_channels=256, dropout_ratio=0.1,
+             num_classes=19, norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=1.0)),
+    ],
     train_cfg=dict(),
     test_cfg=dict(mode='whole'))

@@ -1,7 +1,10 @@
-# PointRend refinement on ResNet-50 + FPN.
+# PointRend: FPN -> point-refinement cascade (reference
+# ``pointrend_r50.py``; SyncBN -> BN is the documented TPU norm
+# substitution).
 norm_cfg = dict(type='BN', requires_grad=True)
 model = dict(
-    type='EncoderDecoder',
+    type='CascadeEncoderDecoder',
+    num_stages=2,
     pretrained=None,
     backbone=dict(
         type='ResNetV1c', depth=50, num_stages=4,
@@ -10,12 +13,20 @@ model = dict(
         style='pytorch', contract_dilation=True),
     neck=dict(type='FPN', in_channels=(256, 512, 1024, 2048),
               out_channels=256, num_outs=4),
-    decode_head=dict(
-        type='PointRendHead', in_channels=(256,), in_index=(0,),
-        input_transform='multiple_select', channels=256,
-        num_points=2048, num_classes=19, norm_cfg=norm_cfg,
-        align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
-                         loss_weight=1.0)),
-    train_cfg=dict(),
-    test_cfg=dict(mode='whole'))
+    decode_head=[
+        dict(type='FPNHead', in_channels=(256, 256, 256, 256),
+             in_index=(0, 1, 2, 3), feature_strides=(4, 8, 16, 32),
+             channels=128, dropout_ratio=-1, num_classes=19,
+             norm_cfg=norm_cfg, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=1.0)),
+        dict(type='PointHead', in_channels=(256,), in_index=(0,),
+             channels=256, num_fcs=3, coarse_pred_each_layer=True,
+             dropout_ratio=-1, num_classes=19, align_corners=False,
+             loss_decode=dict(type='CrossEntropyLoss',
+                              use_sigmoid=False, loss_weight=1.0)),
+    ],
+    train_cfg=dict(num_points=2048, oversample_ratio=3,
+                   importance_sample_ratio=0.75),
+    test_cfg=dict(mode='whole', subdivision_steps=2,
+                  subdivision_num_points=8196, scale_factor=2))

@@ -89,8 +89,16 @@ class PointRendHead(nn.Module):
                 y = jnp.concatenate([y, coarse_pts], axis=-1)
         return self.point_cls(y)
 
-    def __call__(self, inputs, train: bool = False):
-        fine, feats, coarse_logits = self._coarse(inputs, train)
+    def __call__(self, inputs, train: bool = False, prev_logits=None):
+        if prev_logits is not None:
+            # cascade stage (CascadeEncoderDecoder): the previous
+            # stage (e.g. FPNHead) supplies the coarse logits; this
+            # head's internal coarse branch stays unused
+            fine = [inputs[i] for i in self.in_index][0]
+            feats = fine
+            coarse_logits = prev_logits
+        else:
+            fine, feats, coarse_logits = self._coarse(inputs, train)
         if train:
             # training uses the coarse dense loss + the sampled point
             # loss (``point_head.py:174-209``); no dense refinement
@@ -496,3 +504,8 @@ class IterativeDecodeHead(nn.Module):
     def __call__(self, inputs, train: bool = False):
         stage_segs, feats = self.all_stage_logits(inputs, train=train)
         return stage_segs[-1], feats
+
+
+# reference cascade configs name the PointRend stage head 'PointHead'
+# (``pointrend_r50.py``); same implementation
+HEADS.register_module(name='PointHead', module=PointRendHead)

@@ -62,7 +62,12 @@ def test_base_model_configs_build(path):
     from pfst_tpu.models import build_segmentor
     cfg = Config.fromfile(path)
     model = build_segmentor(dict(cfg.model))
-    assert model.num_classes == cfg.model['decode_head']['num_classes']
+    dh = cfg.model['decode_head']
+    # CascadeEncoderDecoder carries a list of stage heads; the model's
+    # num_classes mirrors the LAST stage (mmseg semantics)
+    expected = (dh[-1] if isinstance(dh, (list, tuple)) else
+                dh)['num_classes']
+    assert model.num_classes == expected
 
 
 def test_cfg_options_list_index_override():
