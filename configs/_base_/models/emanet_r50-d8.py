@@ -10,7 +10,8 @@ model = dict(
         strides=(1, 2, 1, 1), norm_cfg=norm_cfg, norm_eval=False,
         style='pytorch', contract_dilation=True),
     decode_head=dict(
-        type='EMAHead', in_channels=2048, in_index=3, channels=512,
+        type='EMAHead', in_channels=2048, in_index=3, channels=256,
+        ema_channels=512, num_bases=64, num_stages=3, momentum=0.1,
         dropout_ratio=0.1, num_classes=19, norm_cfg=norm_cfg,
         align_corners=False,
         loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,

@@ -5,7 +5,7 @@ model = dict(
     pretrained=None,
     backbone=dict(
         type='ResNetV1c', depth=50, num_stages=4,
-        out_indices=(1, 2, 3), dilations=(1, 1, 1, 1),
+        out_indices=(1, 2, 3), dilations=(1, 1, 2, 4),
         strides=(1, 2, 2, 2), norm_cfg=norm_cfg,
         contract_dilation=True),
     neck=dict(type='JPU', in_channels=(512, 1024, 2048),

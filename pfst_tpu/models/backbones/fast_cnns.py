@@ -211,6 +211,7 @@ class STDCNet(nn.Module):
     bottleneck_type: str = 'cat'
     num_convs: int = 4
     out_indices: Sequence[int] = (2, 3, 4)
+    with_final_conv: bool = False
     norm_cfg: Optional[dict] = None
     act_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -249,7 +250,89 @@ class STDCNet(nn.Module):
                                            padding=((1, 1), (1, 1)))
                 x = jnp.concatenate(parts, axis=-1)
             outs.append(x)
+        if self.with_final_conv:
+            outs[-1] = ConvModule(self.channels[-1], 1,
+                                  norm_cfg=self.norm_cfg,
+                                  dtype=self.dtype,
+                                  name='final_conv')(outs[-1],
+                                                     train=train)
         return tuple(outs[i - 2] for i in self.out_indices)
+
+
+@BACKBONES.register_module()
+class STDCContextPathNet(nn.Module):
+    """STDCNet + context path (reference ``stdc.py:329-422``): ARMs on
+    the two deepest stages, a global-context branch, and an FFM fusing
+    the stride-8 feature with the refined context. Outputs
+    ``(stage8, arm32_up, arm16_up, feat_fuse)`` — the first for the
+    STDCHead detail loss, the middle two for FCN aux heads, the last
+    for the decode head.
+    """
+    backbone_cfg: Optional[dict] = None
+    last_in_channels: Sequence[int] = (1024, 512)
+    out_channels: int = 128
+    ffm_cfg: Optional[dict] = None
+    upsample_mode: str = 'nearest'
+    align_corners: Optional[bool] = None
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bb_cfg = dict(self.backbone_cfg or
+                      dict(type='STDCNet', norm_cfg=self.norm_cfg))
+        outs = list(_SubBackbone(bb_cfg, dtype=self.dtype,
+                                 name='backbone')(x, train=train))
+        ac = bool(self.align_corners)
+
+        def arm(f, name):
+            y = ConvModule(self.out_channels, 3, padding=1,
+                           norm_cfg=self.norm_cfg, dtype=self.dtype,
+                           name=f'{name}_conv')(f, train=train)
+            g = jnp.mean(y, axis=(1, 2), keepdims=True)
+            g = ConvModule(self.out_channels, 1, bias=False,
+                           norm_cfg=self.norm_cfg,
+                           act_cfg={'type': 'none'}, dtype=self.dtype,
+                           name=f'{name}_atten')(g, train=train)
+            return y * nn.sigmoid(g)
+
+        avg = jnp.mean(outs[-1], axis=(1, 2), keepdims=True)
+        feature_up = ConvModule(self.out_channels, 1,
+                                norm_cfg=self.norm_cfg,
+                                dtype=self.dtype,
+                                name='conv_avg')(avg, train=train)
+        feature_up = resize(feature_up, size=outs[-1].shape[1:3],
+                            mode=self.upsample_mode,
+                            align_corners=ac)
+        arms_out = []
+        for i in range(len(self.last_in_channels)):
+            x_arm = arm(outs[len(outs) - 1 - i], f'arm{i}') + feature_up
+            feature_up = resize(
+                x_arm, size=outs[len(outs) - 2 - i].shape[1:3],
+                mode=self.upsample_mode, align_corners=ac)
+            feature_up = ConvModule(
+                self.out_channels, 3, padding=1,
+                norm_cfg=self.norm_cfg, dtype=self.dtype,
+                name=f'arm_out_conv{i}')(feature_up, train=train)
+            arms_out.append(feature_up)
+
+        # FFM (``stdc.py:131-204``): 1x1 fuse + squeeze-excite gate
+        ffm = dict(self.ffm_cfg or dict(in_channels=384,
+                                        out_channels=256,
+                                        scale_factor=4))
+        cat = jnp.concatenate([outs[0], arms_out[1]], axis=-1)
+        fused = ConvModule(ffm['out_channels'], 1,
+                           norm_cfg=self.norm_cfg, dtype=self.dtype,
+                           name='ffm_conv0')(cat, train=train)
+        att = jnp.mean(fused, axis=(1, 2), keepdims=True)
+        att = ConvModule(ffm['out_channels'] // ffm.get(
+            'scale_factor', 4), 1, bias=False, dtype=self.dtype,
+            name='ffm_att1')(att, train=train)
+        att = ConvModule(ffm['out_channels'], 1, bias=False,
+                         act_cfg={'type': 'none'}, dtype=self.dtype,
+                         name='ffm_att2')(att, train=train)
+        feat_fuse = fused * nn.sigmoid(att) + fused
+        return (outs[0], arms_out[0], arms_out[1], feat_fuse)
 
 
 @BACKBONES.register_module()
