@@ -1,5 +1,5 @@
 # CGNet + FCN classifier.
-norm_cfg = dict(type='BN', requires_grad=True)
+norm_cfg = dict(type='BN', eps=1e-03, requires_grad=True)
 model = dict(
     type='EncoderDecoder',
     pretrained=None,

@@ -14,7 +14,7 @@ model = dict(
         channels=128, num_convs=1, concat_input=False,
         dropout_ratio=0.1, num_classes=19, norm_cfg=norm_cfg,
         align_corners=False,
-        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,
+        loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=True,
                          loss_weight=1.0)),
     auxiliary_head=[
         dict(type='FCNHead', in_channels=128, in_index=-2, channels=32,

@@ -279,26 +279,31 @@ class STDCContextPathNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # the reference CLASS defaults its context-path convs to BN
+        # (``stdc.py:371``); configs rely on that default, so a None
+        # field here must not mean "no norm"
+        norm_cfg = self.norm_cfg if self.norm_cfg is not None \
+            else {'type': 'BN'}
         bb_cfg = dict(self.backbone_cfg or
-                      dict(type='STDCNet', norm_cfg=self.norm_cfg))
+                      dict(type='STDCNet', norm_cfg=norm_cfg))
         outs = list(_SubBackbone(bb_cfg, dtype=self.dtype,
                                  name='backbone')(x, train=train))
         ac = bool(self.align_corners)
 
         def arm(f, name):
             y = ConvModule(self.out_channels, 3, padding=1,
-                           norm_cfg=self.norm_cfg, dtype=self.dtype,
+                           norm_cfg=norm_cfg, dtype=self.dtype,
                            name=f'{name}_conv')(f, train=train)
             g = jnp.mean(y, axis=(1, 2), keepdims=True)
             g = ConvModule(self.out_channels, 1, bias=False,
-                           norm_cfg=self.norm_cfg,
+                           norm_cfg=norm_cfg,
                            act_cfg={'type': 'none'}, dtype=self.dtype,
                            name=f'{name}_atten')(g, train=train)
             return y * nn.sigmoid(g)
 
         avg = jnp.mean(outs[-1], axis=(1, 2), keepdims=True)
         feature_up = ConvModule(self.out_channels, 1,
-                                norm_cfg=self.norm_cfg,
+                                norm_cfg=norm_cfg,
                                 dtype=self.dtype,
                                 name='conv_avg')(avg, train=train)
         feature_up = resize(feature_up, size=outs[-1].shape[1:3],
@@ -312,7 +317,7 @@ class STDCContextPathNet(nn.Module):
                 mode=self.upsample_mode, align_corners=ac)
             feature_up = ConvModule(
                 self.out_channels, 3, padding=1,
-                norm_cfg=self.norm_cfg, dtype=self.dtype,
+                norm_cfg=norm_cfg, dtype=self.dtype,
                 name=f'arm_out_conv{i}')(feature_up, train=train)
             arms_out.append(feature_up)
 
@@ -322,7 +327,7 @@ class STDCContextPathNet(nn.Module):
                                         scale_factor=4))
         cat = jnp.concatenate([outs[0], arms_out[1]], axis=-1)
         fused = ConvModule(ffm['out_channels'], 1,
-                           norm_cfg=self.norm_cfg, dtype=self.dtype,
+                           norm_cfg=norm_cfg, dtype=self.dtype,
                            name='ffm_conv0')(cat, train=train)
         att = jnp.mean(fused, axis=(1, 2), keepdims=True)
         att = ConvModule(ffm['out_channels'] // ffm.get(

@@ -73,6 +73,19 @@ def binary_cross_entropy(pred: jnp.ndarray,
         if weight is not None:
             weight = weight.astype(jnp.float32)
         return weight_reduce_loss(loss, weight, reduction, avg_factor)
+    if label.shape == pred.shape and jnp.issubdtype(
+            jnp.asarray(label).dtype, jnp.floating):
+        # multi-hot float target of the SAME shape (e.g. EncNet's
+        # image-level class-presence SE target): plain BCE-with-logits,
+        # matching torch F.binary_cross_entropy_with_logits
+        target = jnp.asarray(label, jnp.float32)
+        loss = jnp.maximum(pred, 0) - pred * target + \
+            jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        if class_weight is not None:
+            loss = loss * jnp.asarray(class_weight, jnp.float32)
+        if weight is not None:
+            weight = weight.astype(jnp.float32)
+        return weight_reduce_loss(loss, weight, reduction, avg_factor)
     # one-hot expansion path
     num_classes = pred.shape[-1]
     valid = (label >= 0) & (label != ignore_index)

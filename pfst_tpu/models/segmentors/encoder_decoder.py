@@ -172,13 +172,13 @@ class EncoderDecoder(nn.Module):
                 add_prefix(
                     _head_losses(dh, self._decode_losses, logits, gt,
                                  seg_weight), 'decode'))
-            se_cfg = dict(dh.loss_se_decode or {})
-            se_w = se_cfg.get('loss_weight', 0.2)
+            se_cfg = dict(dh.loss_se_decode or
+                          dict(type='CrossEntropyLoss',
+                               use_sigmoid=True, loss_weight=0.2))
+            se_loss_fn = build_loss(se_cfg)
             onehot = dh.se_onehot_labels(gt)
-            p = se_logits.astype(jnp.float32)
-            bce = jnp.maximum(p, 0) - p * onehot + \
-                jnp.log1p(jnp.exp(-jnp.abs(p)))
-            losses['decode.loss_se'] = se_w * jnp.mean(bce)
+            losses['decode.loss_se'] = se_loss_fn(
+                se_logits.astype(jnp.float32), onehot)
         else:
             out = self(img, train=train)
             losses.update(
