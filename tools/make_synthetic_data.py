@@ -38,8 +38,16 @@ def main():
         os.makedirs(osp.join(a.out, 'img_dir', split), exist_ok=True)
         os.makedirs(osp.join(a.out, 'ann_dir', split), exist_ok=True)
         for i in range(n):
-            img = rs.randint(0, 255, (a.size, a.size, 3), np.uint8)
             ann = blobby_labels(rs, a.size, a.num_classes)
+            # class-correlated tint + noise: the labels are LEARNABLE
+            # from the image, so training runs can demonstrate real
+            # convergence (pure noise images would cap at class priors)
+            palette = np.linspace(40, 215, a.num_classes + 1)[:, None] \
+                * np.array([[1.0, 0.7, 1.3]])
+            noise = rs.randint(0, 255, (a.size, a.size, 3))
+            tint = palette[ann.astype(np.int64) % (a.num_classes + 1)]
+            img = np.clip(0.5 * noise + 0.5 * tint, 0,
+                          255).astype(np.uint8)
             cv2.imwrite(osp.join(a.out, 'img_dir', split,
                                  f't{i}.png'), img)
             cv2.imwrite(osp.join(a.out, 'ann_dir', split,
