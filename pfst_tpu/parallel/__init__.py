@@ -17,3 +17,8 @@ from .tp import (MODEL_AXIS, get_2d_mesh,  # noqa: E402
 
 __all__ += ['tp', 'MODEL_AXIS', 'get_2d_mesh', 'make_tp_train_step',
             'shard_state']
+
+from . import pp  # noqa: E402
+from .pp import PIPE_AXIS, get_pipe_mesh, gpipe_apply  # noqa: E402
+
+__all__ += ['pp', 'PIPE_AXIS', 'get_pipe_mesh', 'gpipe_apply']
