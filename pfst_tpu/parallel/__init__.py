@@ -22,3 +22,8 @@ from . import pp  # noqa: E402
 from .pp import PIPE_AXIS, get_pipe_mesh, gpipe_apply  # noqa: E402
 
 __all__ += ['pp', 'PIPE_AXIS', 'get_pipe_mesh', 'gpipe_apply']
+
+from . import ep  # noqa: E402
+from .ep import EXPERT_AXIS, get_expert_mesh, moe_apply  # noqa: E402
+
+__all__ += ['ep', 'EXPERT_AXIS', 'get_expert_mesh', 'moe_apply']
