@@ -23,10 +23,19 @@ EXPERT_AXIS = 'expert'
 
 
 def get_expert_mesh(n_experts: int = None, devices=None) -> Mesh:
+    from .mesh import get_mesh
     devices = list(devices if devices is not None else jax.devices())
     if n_experts is not None:
+        if n_experts > len(devices):
+            raise ValueError(
+                f'{n_experts} experts need {n_experts} devices, only '
+                f'{len(devices)} available')
         devices = devices[:n_experts]
-    return Mesh(np.asarray(devices), (EXPERT_AXIS,))
+    return get_mesh(devices, axis=EXPERT_AXIS)
+
+
+# the stacked-tree helper is shared with pipeline parallelism
+from .pp import stack_stage_params  # noqa: E402,F401
 
 
 def top1_dispatch(gate_logits, capacity: int):
@@ -54,6 +63,15 @@ def moe_apply(expert_fn: Callable, stacked_params, x, gate_w,
     ``gate_w`` (D, E) replicated.
     """
     n_exp = mesh.devices.size
+    n_stacked = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_stacked != n_exp:
+        raise ValueError(
+            f'{n_stacked} stacked experts on a {n_exp}-device expert '
+            'mesh — one expert per device required')
+    if gate_w.shape[-1] != n_exp:
+        raise ValueError(
+            f'gate_w routes to {gate_w.shape[-1]} experts but the '
+            f'mesh has {n_exp}')
     t_global = x.shape[0]
     assert t_global % n_exp == 0
     t_local = t_global // n_exp

@@ -27,10 +27,15 @@ PIPE_AXIS = 'pipe'
 
 
 def get_pipe_mesh(n_stages: int = None, devices=None) -> Mesh:
+    from .mesh import get_mesh
     devices = list(devices if devices is not None else jax.devices())
     if n_stages is not None:
+        if n_stages > len(devices):
+            raise ValueError(
+                f'{n_stages} pipeline stages need {n_stages} devices, '
+                f'only {len(devices)} available')
         devices = devices[:n_stages]
-    return Mesh(np.asarray(devices), (PIPE_AXIS,))
+    return get_mesh(devices, axis=PIPE_AXIS)
 
 
 def stack_stage_params(params_list):
@@ -54,6 +59,12 @@ def gpipe_apply(block_fn: Callable, stacked_params, x,
     with B divisible by ``n_microbatches``. Differentiable end to end.
     """
     n_dev = mesh.devices.size
+    n_stages = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_stages != n_dev:
+        raise ValueError(
+            f'{n_stages} stacked stages on a {n_dev}-device pipe mesh '
+            '— each device must hold exactly one stage (a silent '
+            'mismatch would drop stages)')
     m = n_microbatches
     assert x.shape[0] % m == 0, (x.shape, m)
     mb = x.shape[0] // m
@@ -87,13 +98,14 @@ def gpipe_apply(block_fn: Callable, stacked_params, x,
 
         (_, outs), _ = jax.lax.scan(body, (act0, outs0),
                                     jnp.arange(steps))
-        return outs
+        # only the LAST stage's buffer holds finished microbatches;
+        # psum with zeros elsewhere replicates it without gathering
+        # every device's (mostly-empty) buffer
+        outs = jnp.where(d == n_dev - 1, outs, jnp.zeros_like(outs))
+        return jax.lax.psum(outs, PIPE_AXIS)
 
     from .mesh import _shard_map
     outs = _shard_map(per_device, mesh=mesh,
                       in_specs=(P(PIPE_AXIS), P()),
-                      out_specs=P(PIPE_AXIS))(stacked_params, x_mb)
-    # per-device (m, mb, ...) blocks concatenate over pipe: the final
-    # stage's results are the LAST m entries
-    final = outs[(n_dev - 1) * m:]
-    return final.reshape(x.shape)
+                      out_specs=P())(stacked_params, x_mb)
+    return outs.reshape(x.shape)

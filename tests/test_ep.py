@@ -91,6 +91,10 @@ def test_moe_is_differentiable():
     grads = jax.grad(loss, argnums=(0, 1))(stacked, gate_w)
     for g in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
-    # every expert used by some token receives gradient
-    gw = np.asarray(grads[0]['w'])
-    assert (np.abs(gw).reshape(n_experts, -1).max(1) > 0).any()
+    # EVERY expert that received tokens must receive gradient
+    idx = np.asarray(jnp.argmax(jax.nn.softmax(x @ gate_w, -1), -1))
+    used = np.zeros(n_experts, bool)
+    used[np.unique(idx)] = True
+    gw = np.abs(np.asarray(grads[0]['w'])).reshape(n_experts, -1)
+    assert used.any()
+    assert (gw.max(1)[used] > 0).all(), (used, gw.max(1))

@@ -37,15 +37,15 @@ def main():
     for split, n in (('train', a.num_train), ('val', a.num_val)):
         os.makedirs(osp.join(a.out, 'img_dir', split), exist_ok=True)
         os.makedirs(osp.join(a.out, 'ann_dir', split), exist_ok=True)
+        # class-correlated tint + noise: the labels are LEARNABLE
+        # from the image, so training runs can demonstrate real
+        # convergence (pure noise images would cap at class priors)
+        palette = np.linspace(40, 215, a.num_classes + 1)[:, None] \
+            * np.array([[1.0, 0.7, 1.3]])
         for i in range(n):
             ann = blobby_labels(rs, a.size, a.num_classes)
-            # class-correlated tint + noise: the labels are LEARNABLE
-            # from the image, so training runs can demonstrate real
-            # convergence (pure noise images would cap at class priors)
-            palette = np.linspace(40, 215, a.num_classes + 1)[:, None] \
-                * np.array([[1.0, 0.7, 1.3]])
             noise = rs.randint(0, 255, (a.size, a.size, 3))
-            tint = palette[ann.astype(np.int64) % (a.num_classes + 1)]
+            tint = palette[ann.astype(np.int64)]
             img = np.clip(0.5 * noise + 0.5 * tint, 0,
                           255).astype(np.uint8)
             cv2.imwrite(osp.join(a.out, 'img_dir', split,
