@@ -223,3 +223,23 @@ def test_uda_pfgst_step_under_tp_matches_single_device():
                                float(ref_log['loss']), rtol=1e-4)
     qkv = new_state.params['backbone_mod']['block0']['qkv']['kernel']
     assert qkv.sharding.spec == P(None, 'model')
+
+
+def test_train_cli_tp_flag_reaches_cfg(tmp_path):
+    """tools/train.py --tp N lands in cfg.parallel.tp (merged, not
+    clobbering other parallel keys)."""
+    import os.path as osp
+    import sys
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    import importlib
+    train_cli = importlib.import_module('train')
+
+    cfg_file = tmp_path / 'c.py'
+    cfg_file.write_text("parallel = dict(other=1)\nmodel = dict()\n")
+    args = train_cli.parse_args([str(cfg_file), '--tp', '2'])
+    from pfst_tpu.utils.config import Config
+    cfg = Config.fromfile(args.config)
+    if args.tp:
+        cfg.merge_from_dict({'parallel.tp': args.tp})
+    assert cfg.parallel['tp'] == 2
+    assert cfg.parallel['other'] == 1
