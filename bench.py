@@ -111,6 +111,14 @@ def main():
         'unit': 'patches/sec/chip',
         'vs_baseline': round(
             patches_per_sec / REFERENCE_GPU_PATCHES_PER_SEC, 2),
+        # the reference repo publishes NO number (BASELINE.md); the
+        # denominator is mmsegmentation's published DeepLabV3+ R50-d8
+        # 512^2 V100 fp32 throughput (~21 img/s) as a proxy for the
+        # reference protocol — not a measured reference run.
+        'vs_baseline_note': (
+            'denominator is a PROXY: mmseg published V100 throughput '
+            '(~21 img/s) for this model; the reference repo ships no '
+            'measured number (see BASELINE.md / PERF.md)'),
     }
     if np.isfinite(flops):
         achieved = flops / (best / STEPS) / 1e12

@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Train-step benchmark: the full PFGST UDA iteration, honestly timed.
+
+Measures the SUSTAINED s/iter of the shipped Pots->Vaih leaf config's
+training step (EMA update + teacher forward + pseudo-labels + ClassMix
+/ jitter / blur + two student fwd+bwd passes + PFGST aux losses +
+AdamW) — the per-iteration footprint of the reference
+``rsiseg/models/uda/pfgst.py:129-166`` (2x student fwd+bwd + 1x
+teacher fwd, SURVEY §3.1).
+
+Protocol (tunneled-TPU safe, see PERF.md "Measurement protocol"):
+  * fresh random batches EVERY step (identical executions can be
+    elided by the backend);
+  * the state chain serializes steps on device (step i+1 consumes
+    step i's donated state), so enqueue N steps and block once at the
+    end — wall/N is the true sustained rate, immune to async-dispatch
+    transients (a 20-iter run whose queue drain lands in an untimed
+    checkpoint save under-reports by up to 4x; that was the round-2
+    0.32 s/iter artifact — see PERF.md);
+  * force materialization via np.asarray of the final loss AND one
+    param/opt leaf (block_until_ready does not reliably block here).
+
+Usage:
+  python bench_train.py                      # batch 2, bf16+fp32
+  python bench_train.py --batch 8 --dtype bf16
+  python bench_train.py --breakdown          # per-program times
+  python bench_train.py --no-aux             # ablate PFGST losses
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+V5E_FP32_PEAK_TFLOPS = 24.6  # v5e has no fp32 matmul units beyond
+#                              MXU passes; ~1/8 of bf16 peak
+
+
+def make_batch(rs, b, size):
+    return {
+        'img': rs.randn(b, size, size, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(0, 6, (b, size, size)).astype(
+            np.int32),
+        'target_img': rs.randn(b, size, size, 3).astype(np.float32),
+        'target_img_strong_aug': rs.randn(b, size, size, 3).astype(
+            np.float32),
+    }
+
+
+def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
+          split=True, fused=False):
+    import jax
+    import optax
+
+    from pfst_tpu.models import build_train_model
+    from pfst_tpu.utils.config import Config
+
+    cfg = Config.fromfile(
+        'configs/pfst/pfst_pots_irrg2vaih_irrg_deeplabv3plus_r50-d8.py')
+    uda = dict(cfg['uda'])
+    model_cfg = dict(cfg['model'])
+    if dtype == 'bf16':
+        model_cfg['dtype'] = 'bfloat16'
+    if no_aux:
+        uda['aux_losses'] = []
+    if no_strongaug:
+        uda['blur'] = False
+        uda['color_jitter_probability'] = 0.0
+    algo = build_train_model(dict(uda=uda, model=model_cfg,
+                                  runner=dict(max_iters=40000)))
+    tx = optax.adamw(6e-5, b1=0.9, b2=0.999, weight_decay=0.01)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+    step = algo.make_train_step(
+        tx, mean=[123.675, 116.28, 103.53],
+        std=[58.395, 57.12, 57.375],
+        split_compile=(split and not fused))
+    return algo, state, step
+
+
+def program_flops(step, state, batch, rng):
+    """Compiler-counted FLOPs summed over the split programs (or the
+    one fused program).  Returns nan where the toolchain can't say."""
+    import jax
+
+    progs = getattr(step, 'programs', None)
+    try:
+        if progs is None:
+            cost = step.lower(state, batch, rng).compile() \
+                .cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get('flops', float('nan')))
+        total = 0.0
+        ema = progs['ema'].lower(state).compile().cost_analysis()
+        teacher_args = (state.ema_params, state.ema_batch_stats,
+                        batch['target_img'])
+        tea = progs['teacher'].lower(*teacher_args).compile()
+        teacher_out = jax.eval_shape(
+            lambda *a: progs['teacher'](*a), *teacher_args)
+        mix = progs['mix'].lower(batch, rng, teacher_out).compile()
+        premix = jax.eval_shape(lambda b, r, t: progs['mix'](b, r, t),
+                                batch, rng, teacher_out)
+        opt = progs['opt'].lower(state, batch, rng, premix).compile()
+        for c in (ema, tea.cost_analysis(), mix.cost_analysis(),
+                  opt.cost_analysis()):
+            cc = c.cost_analysis() if hasattr(c, 'cost_analysis') else c
+            if isinstance(cc, list):
+                cc = cc[0]
+            total += float(cc.get('flops', 0.0))
+        return total
+    except Exception as e:  # cost analysis is best-effort
+        print(f'# cost_analysis unavailable: {type(e).__name__}: {e}')
+        return float('nan')
+
+
+def timed_chain(step, state, batches, rngs):
+    """Enqueue len(batches) steps chained through the donated state,
+    block once, return (wall_seconds, final_state)."""
+    import jax
+
+    t0 = time.perf_counter()
+    log_vars = None
+    for b, r in zip(batches, rngs):
+        state, log_vars, _ = step(state, b, r)
+    loss = np.asarray(log_vars['loss'])
+    leaf = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0].ravel()[:1])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f'non-finite loss {loss}'
+    assert np.isfinite(leaf).all()
+    return dt, state
+
+
+def run_one(batch_size, dtype, size, steps, reps, warmup, args):
+    import jax
+
+    algo, state, step = build(batch_size, size, dtype,
+                              no_aux=args.no_aux,
+                              no_strongaug=args.no_strongaug,
+                              fused=args.fused)
+    rs = np.random.RandomState(0)
+    rng = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    for i in range(warmup):
+        b = make_batch(rs, batch_size, size)
+        state, lv, _ = step(state, b, jax.random.fold_in(rng, 1000 + i))
+    _ = np.asarray(lv['loss'])
+    print(f'# warmup+compile {time.perf_counter() - t0:.0f}s '
+          f'(batch {batch_size}, {dtype})')
+
+    best = None
+    for rep in range(reps):
+        batches = [make_batch(rs, batch_size, size)
+                   for _ in range(steps)]
+        rngs = [jax.random.fold_in(rng, rep * steps + i)
+                for i in range(steps)]
+        dt, state = timed_chain(step, state, batches, rngs)
+        per_iter = dt / steps
+        print(f'# rep {rep}: {per_iter:.3f} s/iter '
+              f'({batch_size / per_iter:.1f} img/s)')
+        best = per_iter if best is None else min(best, per_iter)
+
+    flops = float('nan')
+    if args.flops:
+        b = make_batch(rs, batch_size, size)
+        flops = program_flops(step, state, b, rng)
+    rec = {
+        'metric': 'PFGST UDA train step 512^2',
+        'batch': batch_size,
+        'dtype': dtype,
+        's_per_iter': round(best, 4),
+        'img_per_sec': round(batch_size / best, 2),
+        'unit': 's/iter',
+    }
+    if np.isfinite(flops):
+        achieved = flops / best / 1e12
+        peak = (V5E_BF16_PEAK_TFLOPS if dtype == 'bf16'
+                else V5E_FP32_PEAK_TFLOPS)
+        rec['program_gflop'] = round(flops / 1e9, 1)
+        rec['achieved_tflops'] = round(achieved, 2)
+        rec['mfu_pct'] = round(100 * achieved / peak, 1)
+    print(json.dumps(rec))
+    return rec
+
+
+def run_breakdown(batch_size, dtype, size, steps, args):
+    """Time each of the four split programs in isolation."""
+    import jax
+
+    algo, state, step = build(batch_size, size, dtype,
+                              no_aux=args.no_aux,
+                              no_strongaug=args.no_strongaug)
+    progs = step.programs
+    rs = np.random.RandomState(0)
+    rng = jax.random.PRNGKey(42)
+    # one full step to compile everything
+    b = make_batch(rs, batch_size, size)
+    state, lv, _ = step(state, b, rng)
+    _ = np.asarray(lv['loss'])
+
+    out = {}
+    # ema: state -> state
+    t0 = time.perf_counter()
+    s = state
+    for i in range(steps):
+        s = progs['ema'](s)
+    _ = np.asarray(jax.tree_util.tree_leaves(s.ema_params)[0]
+                   .ravel()[:1])
+    out['ema'] = (time.perf_counter() - t0) / steps
+    state = s
+
+    # teacher: fresh target images
+    imgs = [rs.randn(batch_size, size, size, 3).astype(np.float32)
+            for _ in range(steps)]
+    t0 = time.perf_counter()
+    touts = [progs['teacher'](state.ema_params, state.ema_batch_stats,
+                              im) for im in imgs]
+    _ = [np.asarray(t[0]).ravel()[:1] for t in touts]
+    out['teacher'] = (time.perf_counter() - t0) / steps
+
+    # mix: fresh batches, reuse one teacher_out
+    batches = [make_batch(rs, batch_size, size) for _ in range(steps)]
+    t0 = time.perf_counter()
+    premixes = [progs['mix'](bb, jax.random.fold_in(rng, i), touts[i])
+                for i, bb in enumerate(batches)]
+    _ = [np.asarray(p['mixed_img']).ravel()[:1] for p in premixes]
+    out['mix'] = (time.perf_counter() - t0) / steps
+
+    # opt: the big student 2xfwd+bwd + optimizer program
+    t0 = time.perf_counter()
+    for i, bb in enumerate(batches):
+        state, lv, _ = progs['opt'](state, bb,
+                                    jax.random.fold_in(rng, 100 + i),
+                                    premixes[i])
+    _ = np.asarray(lv['loss'])
+    _ = np.asarray(jax.tree_util.tree_leaves(state.params)[0]
+                   .ravel()[:1])
+    out['opt'] = (time.perf_counter() - t0) / steps
+
+    rec = {'metric': 'PFGST train-step breakdown', 'batch': batch_size,
+           'dtype': dtype,
+           **{k: round(v, 4) for k, v in out.items()},
+           'sum': round(sum(out.values()), 4)}
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, nargs='*', default=[2])
+    ap.add_argument('--dtype', choices=['fp32', 'bf16', 'both'],
+                    default='both')
+    ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--steps', type=int, default=12)
+    ap.add_argument('--reps', type=int, default=2)
+    ap.add_argument('--warmup', type=int, default=2)
+    ap.add_argument('--breakdown', action='store_true')
+    ap.add_argument('--no-aux', action='store_true',
+                    help='ablate the PFGST aux losses')
+    ap.add_argument('--no-strongaug', action='store_true',
+                    help='ablate jitter/blur')
+    ap.add_argument('--fused', action='store_true',
+                    help='single fused program instead of split')
+    ap.add_argument('--flops', action='store_true',
+                    help='also report compiler-counted FLOPs/MFU')
+    ap.add_argument('--json-out', default=None)
+    args = ap.parse_args()
+
+    from pfst_tpu.utils.set_env import setup_environment
+    setup_environment()
+
+    dtypes = ['bf16', 'fp32'] if args.dtype == 'both' else [args.dtype]
+    recs = []
+    for bsz in args.batch:
+        for dt in dtypes:
+            if args.breakdown:
+                recs.append(run_breakdown(bsz, dt, args.size,
+                                          args.steps, args))
+            else:
+                recs.append(run_one(bsz, dt, args.size, args.steps,
+                                    args.reps, args.warmup, args))
+    if args.json_out:
+        with open(args.json_out, 'a') as f:
+            for r in recs:
+                f.write(json.dumps(r) + '\n')
+
+
+if __name__ == '__main__':
+    main()

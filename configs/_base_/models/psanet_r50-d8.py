@@ -11,6 +11,8 @@ model = dict(
         style='pytorch', contract_dilation=True),
     decode_head=dict(
         type='PSAHead', in_channels=2048, in_index=3, channels=512,
+        mask_size=(97, 97), psa_type='bi-direction', compact=False,
+        shrink_factor=2, normalization_factor=1.0, psa_softmax=True,
         dropout_ratio=0.1, num_classes=19, norm_cfg=norm_cfg,
         align_corners=False,
         loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=False,

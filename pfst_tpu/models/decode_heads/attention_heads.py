@@ -61,8 +61,14 @@ class ChannelAttention(nn.Module):
 
 @HEADS.register_module()
 class DAHead(nn.Module):
-    """Dual attention head (``da_head.py``). Primary output is the sum
-    branch; pam/cam aux logits are summed into the same loss."""
+    """Dual attention head (``da_head.py``).
+
+    Faithful loss structure (``da_head.py:157-178``): training computes
+    THREE separate CE losses — ``pam_cam`` (the summed branch), ``pam``
+    and ``cam`` — via per-branch classifiers; inference uses only the
+    ``pam_cam`` output (``da_head.py:162-164``).  The segmentor detects
+    ``branch_loss_names`` and prefixes the branch losses
+    ``decode.pam_cam.* / decode.pam.* / decode.cam.*``."""
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 19
@@ -77,6 +83,11 @@ class DAHead(nn.Module):
     loss_decode: Optional[Union[dict, Sequence[dict]]] = None
     sampler: Optional[dict] = None
     dtype: Any = jnp.float32
+
+    # training computes separate losses for these extra outputs;
+    # the primary (first) output carries the 'pam_cam' prefix
+    branch_loss_names = ('pam', 'cam')
+    primary_loss_name = 'pam_cam'
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -97,10 +108,19 @@ class DAHead(nn.Module):
         cam = ConvModule(self.channels, 3, padding=1,
                          norm_cfg=self.norm_cfg, dtype=self.dtype,
                          name='cam_out')(cam, train=train)
+        # per-branch classifiers (``da_head.py:101-117`` pam_cls_seg /
+        # cam_cls_seg); computed unconditionally so init creates their
+        # params, cost = two 1x1 convs to num_classes
+        pam_logits = ClsSeg(self.num_classes, self.dropout_ratio,
+                            dtype=self.dtype,
+                            name='pam_cls')(pam, train=train)
+        cam_logits = ClsSeg(self.num_classes, self.dropout_ratio,
+                            dtype=self.dtype,
+                            name='cam_cls')(cam, train=train)
         feats = pam + cam
         logits = ClsSeg(self.num_classes, self.dropout_ratio,
                         dtype=self.dtype, name='cls')(feats, train=train)
-        return logits, feats
+        return logits, feats, pam_logits, cam_logits
 
 
 @HEADS.register_module()

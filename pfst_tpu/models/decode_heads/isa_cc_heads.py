@@ -169,12 +169,28 @@ class CCHead(nn.Module):
 
 @HEADS.register_module()
 class PSAHead(nn.Module):
-    """point-wise spatial attention (collect+distribute)."""
+    """Point-wise spatial attention (``psa_head.py``), faithful.
+
+    Implements the full reference surface: ``psa_type``
+    collect/distribute/bi-direction, over-complete ``mask_size``
+    windows expanded by a static-gather PSAMask
+    (``pfst_tpu/ops/psa_mask.py``, replacing mmcv's CUDA op),
+    ``compact`` direct-position masks, ``shrink_factor`` downsampling
+    with the reference's odd-size align_corners switch
+    (``psa_head.py:122-133``), ``psa_softmax`` over the source-position
+    axis and ``normalization_factor`` scaling (``psa_head.py:142-147``),
+    the k=1/padding=1 ``proj`` quirk and identity-concat bottleneck
+    (``psa_head.py:99-113,189-196``).
+    """
     in_channels: int = 2048
     channels: int = 512
     num_classes: int = 19
     mask_size: Sequence[int] = (97, 97)
     psa_type: str = 'bi-direction'
+    compact: bool = False
+    shrink_factor: int = 2
+    normalization_factor: float = 1.0
+    psa_softmax: bool = True
     dropout_ratio: float = 0.1
     in_index: Union[int, Sequence[int]] = 3
     input_transform: Optional[str] = None
@@ -186,39 +202,120 @@ class PSAHead(nn.Module):
     sampler: Optional[dict] = None
     dtype: Any = jnp.float32
 
+    def _shrink(self, y):
+        """``psa_head.py:122-137``: downsample by shrink_factor; odd
+        sizes round up and flip align_corners."""
+        from ...ops import resize as _resize
+        h, w = y.shape[1:3]
+        sf = self.shrink_factor
+        if sf == 1:
+            return y, self.align_corners
+        if h % sf and w % sf:
+            h2, w2 = (h - 1) // sf + 1, (w - 1) // sf + 1
+            ac = True
+        else:
+            h2, w2 = h // sf, w // sf
+            ac = False
+        return _resize(y, size=(h2, w2), mode='bilinear',
+                       align_corners=ac), ac
+
+    def _attention(self, y, train, name):
+        """reduce-path attention stack (``psa_head.py:66-75``):
+        ConvModule(channels->channels, 1) then a bias-free 1x1 conv to
+        mask_h*mask_w channels."""
+        mask_h, mask_w = self.mask_size
+        a = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                       dtype=self.dtype,
+                       name=f'{name}_conv')(y, train=train)
+        return nn.Conv(mask_h * mask_w, (1, 1), use_bias=False,
+                       dtype=self.dtype, name=f'{name}_mask')(a)
+
     @nn.compact
     def __call__(self, inputs, train: bool = False):
+        from ...ops import resize as _resize
+        from ...ops.psa_mask import psa_mask
+
         x = transform_inputs(inputs, self.in_index,
                              self.input_transform, self.align_corners)
-        b, h, w, cin = x.shape
-        red = self.channels // 2
-        outs = []
-        kinds = ['collect', 'distribute'] if self.psa_type == \
-            'bi-direction' else [self.psa_type]
-        for kind in kinds:
-            y = ConvModule(red, 1, norm_cfg=self.norm_cfg,
+        identity = x
+        norm = 1.0 / self.normalization_factor
+
+        def to_attn(raw, kind):
+            """raw over-complete/compact mask (B,h,w,C) -> (B, hw, hw)
+            laid out [k, q] for out[q] = sum_k attn[k,q] x[k]."""
+            b, h, w, _ = raw.shape
+            if self.compact:
+                # compact masks address absolute positions directly.
+                # Reference transpose semantics differ between modes
+                # (``psa_head.py:138-141`` single transposes 'collect'
+                # only; ``:173-176`` bi-direction transposes y_dis
+                # only) — in this [k, q] layout that means:
+                #   single-collect / bi-distribute -> position-major
+                #   single-distribute / bi-collect -> channel-major
+                raw_r = raw.reshape(b, h * w, h * w)  # [pos, ch]
+                channel_major = (
+                    (self.psa_type == 'bi-direction' and
+                     kind == 'collect') or
+                    self.psa_type == 'distribute')
+                if channel_major:
+                    return jnp.swapaxes(raw_r, 1, 2)  # [k=ch, q=pos]
+                return raw_r                          # [k=pos, q=ch]
+            return psa_mask(raw, tuple(self.mask_size), kind)
+
+        def bmm(yf, attn):
+            """(B,hw,c) x (B,hw[k],hw[q]) -> (B,hw,c), softmax over k
+            (reference dim=1) then 1/normalization_factor."""
+            if self.psa_softmax:
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=1)
+            out = jnp.einsum('bkc,bkq->bqc', yf,
+                             attn.astype(yf.dtype),
+                             preferred_element_type=jnp.float32)
+            return out.astype(yf.dtype) * norm
+
+        if self.psa_type in ('collect', 'distribute'):
+            y = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
                            dtype=self.dtype,
-                           name=f'{kind}_reduce')(x, train=train)
-            mask = nn.Conv(h * w, (1, 1), dtype=self.dtype,
-                           name=f'{kind}_attn')(y)
-            attn = jax.nn.softmax(
-                mask.reshape(b, h * w, h * w).astype(jnp.float32),
-                axis=-1 if kind == 'collect' else 1)
-            yf = y.reshape(b, h * w, red)
-            if kind == 'collect':
-                out = jnp.einsum('bqk,bkc->bqc',
-                                 attn.astype(yf.dtype), yf,
-                                 preferred_element_type=jnp.float32)
-            else:
-                out = jnp.einsum('bkq,bkc->bqc',
-                                 attn.astype(yf.dtype), yf,
-                                 preferred_element_type=jnp.float32)
-            outs.append(out.reshape(b, h, w, red).astype(x.dtype))
-        y = jnp.concatenate(outs, axis=-1)
+                           name='reduce')(x, train=train)
+            y, ac = self._shrink(y)
+            b, h, w, c = y.shape
+            raw = self._attention(y, train, 'attention')
+            attn = to_attn(raw, 'collect' if self.psa_type ==
+                           'collect' else 'distribute')
+            out = bmm(y.reshape(b, h * w, c), attn).reshape(b, h, w, c)
+        else:  # bi-direction (``psa_head.py:148-188``)
+            y_col = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                               dtype=self.dtype,
+                               name='reduce')(x, train=train)
+            y_dis = ConvModule(self.channels, 1, norm_cfg=self.norm_cfg,
+                               dtype=self.dtype,
+                               name='reduce_p')(x, train=train)
+            y_col, ac = self._shrink(y_col)
+            y_dis, _ = self._shrink(y_dis)
+            b, h, w, c = y_col.shape
+            raw_col = self._attention(y_col, train, 'attention')
+            raw_dis = self._attention(y_dis, train, 'attention_p')
+            a_col = to_attn(raw_col, 'collect')
+            a_dis = to_attn(raw_dis, 'distribute')
+            o_col = bmm(y_col.reshape(b, h * w, c),
+                        a_col).reshape(b, h, w, c)
+            o_dis = bmm(y_dis.reshape(b, h * w, c),
+                        a_dis).reshape(b, h, w, c)
+            out = jnp.concatenate([o_col, o_dis], axis=-1)
+
+        # proj: 1x1 ConvModule declared with padding=1 — the reference
+        # really grows the map by a zero border before resizing back
+        # (``psa_head.py:99-107,189-195``); mirrored for fidelity
+        out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = ConvModule(self.in_channels, 1, norm_cfg=self.norm_cfg,
+                         dtype=self.dtype, name='proj')(out,
+                                                        train=train)
+        out = _resize(out, size=identity.shape[1:3], mode='bilinear',
+                      align_corners=ac)
         feats = ConvModule(self.channels, 3, padding=1,
                            norm_cfg=self.norm_cfg, dtype=self.dtype,
                            name='bottleneck')(
-                               jnp.concatenate([x, y], axis=-1),
+                               jnp.concatenate([identity, out],
+                                               axis=-1),
                                train=train)
         logits = ClsSeg(self.num_classes, self.dropout_ratio,
                         dtype=self.dtype, name='cls')(feats, train=train)

@@ -105,10 +105,17 @@ class EncoderDecoder(nn.Module):
             x = self.neck_mod(x, train=train)
         return x
 
+    def _decode_forward(self, feats, train: bool):
+        """Run the decode head; heads with extra loss branches (DAHead
+        pam/cam, ``da_head.py:157-178``) return >2 outputs — normalize
+        to (logits, decoded, branch_logits)."""
+        out = self.decode_head_mod(feats, train=train)
+        return out[0], out[1], tuple(out[2:])
+
     def __call__(self, img, train: bool = False):
         """Full forward returning everything downstream consumers need."""
         feats = self.extract_feat(img, train=train)
-        logits, decoded = self.decode_head_mod(feats, train=train)
+        logits, decoded, branches = self._decode_forward(feats, train)
         aux_logits = tuple(
             h(feats, train=train)[0] for h in self.aux_heads)
         return {
@@ -116,13 +123,14 @@ class EncoderDecoder(nn.Module):
             'seg_logits': logits,           # head-resolution logits
             'decoded_features': decoded,
             'aux_logits': aux_logits,
+            'branch_logits': branches,
         }
 
     def encode_decode(self, img, train: bool = False):
         """Logits resized to input size (+states) —
         ``encoder_decoder.py:72-84``."""
         feats = self.extract_feat(img, train=train)
-        logits, decoded = self.decode_head_mod(feats, train=train)
+        logits, decoded, _ = self._decode_forward(feats, train)
         out = resize(logits, size=img.shape[1:3], mode='bilinear',
                      align_corners=self.align_corners)
         states = {'feats': feats, 'decoded_features': decoded,
@@ -181,11 +189,28 @@ class EncoderDecoder(nn.Module):
                 se_logits.astype(jnp.float32), onehot)
         else:
             out = self(img, train=train)
-            losses.update(
-                add_prefix(
+            branch_names = getattr(dh, 'branch_loss_names', ())
+            if branch_names and out.get('branch_logits'):
+                # DAHead: three separate losses, keys
+                # decode.pam_cam.* / decode.pam.* / decode.cam.*
+                # (``da_head.py:166-178`` + add_prefix 'decode')
+                primary = getattr(dh, 'primary_loss_name', 'primary')
+                losses.update(add_prefix(
                     _head_losses(dh, self._decode_losses,
                                  out['seg_logits'], gt, seg_weight),
-                    'decode'))
+                    f'decode.{primary}'))
+                for bname, blogit in zip(branch_names,
+                                         out['branch_logits']):
+                    losses.update(add_prefix(
+                        _head_losses(dh, self._decode_losses, blogit,
+                                     gt, seg_weight),
+                        f'decode.{bname}'))
+            else:
+                losses.update(
+                    add_prefix(
+                        _head_losses(dh, self._decode_losses,
+                                     out['seg_logits'], gt, seg_weight),
+                        'decode'))
         if hasattr(dh, 'point_losses') and train:
             # PointRend train-time point loss
             # (``point_head.py:174-209``)

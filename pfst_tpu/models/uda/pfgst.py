@@ -492,4 +492,8 @@ class PFGST(UDADecorator):
             _first[0] = False
             return out
 
+        # expose the four programs for per-program profiling
+        # (tools/bench_train.py --breakdown)
+        split_step.programs = dict(ema=ema_jit, teacher=teacher_jit,
+                                   mix=mix_jit, opt=opt_jit)
         return split_step

@@ -173,3 +173,115 @@ def test_point_sample_matches_torch_grid_sample():
     ref = F.grid_sample(t_feat, grid, align_corners=False)
     ref = ref.squeeze(-1).permute(0, 2, 1).numpy()        # (B,N,C)
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+# ---- round-3 fidelity closures: DAHead triple loss, PSAHead masks ----
+
+def test_dahead_triple_losses():
+    """DAHead trains three separate CE losses — pam_cam/pam/cam
+    (``da_head.py:157-178``) — not one folded output."""
+    cfg = dict(
+        type='EncoderDecoder',
+        backbone=dict(type='ResNetV1c', depth=18, num_stages=4,
+                      base_channels=8, stem_channels=8,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), norm_cfg=NORM,
+                      contract_dilation=True),
+        decode_head=dict(
+            type='DAHead', in_channels=64, in_index=3, channels=8,
+            pam_channels=8, dropout_ratio=0.0, num_classes=5,
+            norm_cfg=NORM, align_corners=False,
+            loss_decode=dict(type='CrossEntropyLoss',
+                             use_sigmoid=False, loss_weight=1.0)),
+        train_cfg=dict(), test_cfg=dict(mode='whole'))
+    model = build_segmentor(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 5,
+                                                      (2, 32, 32)))
+    variables = model.init({'params': jax.random.PRNGKey(0)}, x,
+                           train=False)
+    (losses, states), _ = model.apply(
+        variables, x, gt, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(1)},
+        method=model.forward_train)
+    for key in ('decode.pam_cam.loss_ce', 'decode.pam.loss_ce',
+                'decode.cam.loss_ce'):
+        assert key in losses, sorted(losses)
+        assert np.isfinite(float(losses[key]))
+    # the three branches are distinct classifiers -> distinct losses
+    assert float(losses['decode.pam.loss_ce']) != \
+        float(losses['decode.cam.loss_ce'])
+    # inference uses only the pam_cam output (``da_head.py:162-164``)
+    out, _ = model.apply(variables, x, method=model.encode_decode,
+                         mutable=['batch_stats'])
+    logits = out[0]
+    assert logits.shape == (2, 32, 32, 5)
+
+
+def _psa_mask_numpy(mask_nhwc, mask_size, kind):
+    """Loop reference of the mmcv PSAMask kernel semantics."""
+    b, h, w, _ = mask_nhwc.shape
+    mh, mw = mask_size
+    half_h, half_w = (mh - 1) // 2, (mw - 1) // 2
+    out = np.zeros((b, h * w, h * w), np.float32)  # [k, q]
+    for n in range(b):
+        for qi in range(h):
+            for qj in range(w):
+                q = qi * w + qj
+                for ki in range(h):
+                    for kj in range(w):
+                        k = ki * w + kj
+                        if kind == 'collect':
+                            # mask AT q, displacement k - q
+                            di, dj = ki - qi + half_h, kj - qj + half_w
+                            if 0 <= di < mh and 0 <= dj < mw:
+                                out[n, k, q] = mask_nhwc[
+                                    n, qi, qj, di * mw + dj]
+                        else:
+                            # mask AT k, displacement q - k
+                            di, dj = qi - ki + half_h, qj - kj + half_w
+                            if 0 <= di < mh and 0 <= dj < mw:
+                                out[n, k, q] = mask_nhwc[
+                                    n, ki, kj, di * mw + dj]
+    return out
+
+
+@pytest.mark.parametrize('kind', ['collect', 'distribute'])
+@pytest.mark.parametrize('mask_size', [(5, 5), (3, 5)])
+def test_psa_mask_matches_loop_reference(kind, mask_size):
+    from pfst_tpu.ops.psa_mask import psa_mask
+    rs = np.random.RandomState(0)
+    mh, mw = mask_size
+    mask = rs.randn(2, 4, 3, mh * mw).astype(np.float32)
+    ours = np.asarray(psa_mask(jnp.asarray(mask), mask_size, kind))
+    ref = _psa_mask_numpy(mask, mask_size, kind)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize('psa_type,compact', [
+    ('collect', False), ('distribute', False), ('bi-direction', False),
+    ('collect', True), ('distribute', True), ('bi-direction', True),
+])
+def test_psahead_modes_build_and_run(psa_type, compact):
+    """Full PSAHead surface: every psa_type x compact combination runs
+    with shrink_factor=2 over an odd feature size (align_corners
+    switch, ``psa_head.py:122-133``)."""
+    feats = tuple(
+        jnp.asarray(np.random.RandomState(i).randn(1, s, s, c),
+                    jnp.float32)
+        for i, (c, s) in enumerate(zip((8, 16, 32, 64),
+                                       (16, 8, 7, 7))))
+    # input 7x7 shrinks (odd path) to 4x4; compact masks must address
+    # absolute positions, so mask_size == shrunk feature size there
+    mask_size = (4, 4) if compact else (7, 7)
+    head = HEADS.build(dict(
+        type='PSAHead', in_channels=64, in_index=3, channels=8,
+        mask_size=mask_size, psa_type=psa_type, compact=compact,
+        shrink_factor=2, normalization_factor=1.0, psa_softmax=True,
+        dropout_ratio=0.0, num_classes=5, norm_cfg=NORM,
+        align_corners=False))
+    variables = head.init({'params': jax.random.PRNGKey(0)}, feats)
+    logits, _ = head.apply(variables, feats)
+    assert logits.shape == (1, 7, 7, 5)
+    assert np.isfinite(np.asarray(logits)).all()

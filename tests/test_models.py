@@ -110,7 +110,8 @@ def _pyramid(chs=(8, 16, 32, 64), sizes=(16, 8, 4, 2)):
 def test_heads_shapes(cfg, feat_like):
     head = build_head(cfg)
     variables = head.init({'params': RNG}, _pyramid())
-    logits, feats = head.apply(variables, _pyramid())
+    out = head.apply(variables, _pyramid())
+    logits = out[0]  # DAHead additionally returns pam/cam branch logits
     assert logits.shape[0] == 1 and logits.shape[-1] == 5
     assert logits.shape[1] == feat_like
 
