@@ -131,7 +131,9 @@ def torch_key_to_flax(key):
             # Sequential(AdaptiveAvgPool2d, ConvModule)
             return conv_module(r[2:], ['image_pool_conv'])
         if r[0] == 'aspp_modules':
-            return conv_module(r[2:], [f'branch{r[1]}'])
+            # flax nests the branches under the ASPPModule submodule
+            return conv_module(r[2:], ['aspp_modules',
+                                       f'branch{r[1]}'])
         if r[0] == 'bottleneck':
             return conv_module(r[1:], ['bottleneck'])
         if r[0] == 'c1_bottleneck':
