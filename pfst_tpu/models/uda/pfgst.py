@@ -199,8 +199,12 @@ class PFGST(UDADecorator):
             trg_img = target_img_strong if self.mix_view == \
                 'strong_aug' else target_img
         jitter_gate = jax.random.uniform(k_gate_j, ())
+        # host-side scalar, NOT jnp.zeros(()): a device-array constant
+        # captured by a traced function must round-trip to host for
+        # MLIR constant embedding, which the tunneled backend rejects
+        import numpy as _np
         blur_gate = jax.random.uniform(k_gate_b, ()) if self.blur \
-            else jnp.zeros(())
+            else _np.float32(0.0)
         sample_keys = jax.random.split(k_strong, b)
 
         def per_sample(key, m, im_s, im_t, g, pl, pw):

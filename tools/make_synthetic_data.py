@@ -24,7 +24,7 @@ def blobby_labels(rs, size, num_classes):
     return up.argmax(0).astype(np.uint8)
 
 
-def main():
+def main(args=None):
     p = argparse.ArgumentParser()
     p.add_argument('-o', '--out', required=True)
     p.add_argument('--size', type=int, default=1024)
@@ -32,7 +32,7 @@ def main():
     p.add_argument('--num-val', type=int, default=2)
     p.add_argument('--num-classes', type=int, default=6)
     p.add_argument('--seed', type=int, default=0)
-    a = p.parse_args()
+    a = p.parse_args(args)
     rs = np.random.RandomState(a.seed)
     for split, n in (('train', a.num_train), ('val', a.num_val)):
         os.makedirs(osp.join(a.out, 'img_dir', split), exist_ok=True)
