@@ -184,6 +184,130 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
     return rec
 
 
+def run_mode(mode, batch_size, dtype, size, steps, reps, warmup):
+    """Isolated pieces of the training iteration, timed with the same
+    sustained-chain protocol (fresh inputs, one block at the end):
+
+    * fwd            — student forward only (the inference path)
+    * supervised     — 1x fwd+bwd + AdamW (SupervisedTrainer step)
+    * grad-backbone  — fwd+bwd with grads flowing ONLY through the
+                       backbone (head losses on stop_gradient feats
+                       still computed; isolates backbone backward)
+    * grad-head      — fwd+bwd with feats stop_gradient'ed (isolates
+                       decode/aux-head backward)
+    """
+    import jax
+    import optax
+
+    from pfst_tpu.apis.train import SupervisedTrainer
+    from pfst_tpu.models import build_segmentor
+    from pfst_tpu.utils.config import Config
+
+    cfg = Config.fromfile(
+        'configs/pfst/pfst_pots_irrg2vaih_irrg_deeplabv3plus_r50-d8.py')
+    model_cfg = dict(cfg['model'])
+    if dtype == 'bf16':
+        model_cfg['dtype'] = 'bfloat16'
+    model_cfg.pop('train_cfg', None)
+    model = build_segmentor(model_cfg)
+    algo = SupervisedTrainer(model)
+    tx = optax.adamw(6e-5, weight_decay=0.01)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+
+    if mode == 'fwd':
+        @jax.jit
+        def piece(variables, img):
+            out, _ = model.apply(variables, img, train=True,
+                                 mutable=['batch_stats'],
+                                 method=model.encode_decode)
+            return out[0].mean()
+
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        run = lambda img, i: piece(variables, img)  # noqa: E731
+    elif mode == 'supervised':
+        step = algo.make_train_step(
+            tx, mean=[123.675, 116.28, 103.53],
+            std=[58.395, 57.12, 57.375])
+        holder = [state]
+
+        def run(img, i):
+            batch = {'img': img,
+                     'gt_semantic_seg': (np.abs(img[..., 0]) * 5
+                                         ).astype(np.int32) % 6}
+            s, lv, _ = step(holder[0], batch,
+                            jax.random.fold_in(jax.random.PRNGKey(1),
+                                               i))
+            holder[0] = s
+            return lv['loss']
+    elif mode in ('grad-backbone', 'grad-head'):
+        import jax.numpy as jnp
+
+        def loss_fn(params, batch_stats, img, gt):
+            def fwd(p):
+                (losses, _), _ = model.apply(
+                    {'params': p, 'batch_stats': batch_stats}, img, gt,
+                    train=True, mutable=['batch_stats'],
+                    method=model.forward_train)
+                total = sum(jnp.mean(v) for k, v in losses.items()
+                            if 'loss' in k)
+                return total
+            return fwd(params)
+
+        if mode == 'grad-head':
+            # stop grads into the backbone by freezing its params
+            def grad_target(params, batch_stats, img, gt):
+                frozen = dict(params)
+                frozen['backbone_mod'] = jax.lax.stop_gradient(
+                    params['backbone_mod'])
+                return loss_fn(frozen, batch_stats, img, gt)
+        else:
+            def grad_target(params, batch_stats, img, gt):
+                live = dict(params)
+                for k in params:
+                    if k != 'backbone_mod':
+                        live[k] = jax.lax.stop_gradient(params[k])
+                return loss_fn(live, batch_stats, img, gt)
+
+        @jax.jit
+        def piece(params, batch_stats, img, gt):
+            val, grads = jax.value_and_grad(grad_target)(
+                params, batch_stats, img, gt)
+            return val, jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(jnp.abs(g).astype(
+                    jnp.float32)), grads, 0.0)
+
+        def run(img, i):
+            gt = (np.abs(img[..., 0]) * 5).astype(np.int32) % 6
+            return piece(state.params, state.batch_stats, img, gt)[1]
+    else:
+        raise ValueError(mode)
+
+    rs = np.random.RandomState(0)
+    imgs = [rs.randn(batch_size, size, size, 3).astype(np.float32)
+            for _ in range(steps + warmup)]
+    for i in range(warmup):
+        out = run(imgs[i], i)
+    _ = np.asarray(out)
+    best = None
+    for rep in range(reps):
+        imgs = [rs.randn(batch_size, size, size, 3).astype(np.float32)
+                for _ in range(steps)]
+        t0 = time.perf_counter()
+        outs = [run(im, 10 + rep * steps + i)
+                for i, im in enumerate(imgs)]
+        _ = np.asarray(outs[-1])
+        if mode in ('fwd', 'grad-backbone', 'grad-head'):
+            _ = [np.asarray(o) for o in outs]
+        dt = (time.perf_counter() - t0) / steps
+        print(f'# {mode} rep {rep}: {dt:.3f} s/iter')
+        best = dt if best is None else min(best, dt)
+    rec = {'metric': f'train-piece {mode} 512^2', 'batch': batch_size,
+           'dtype': dtype, 's_per_iter': round(best, 4)}
+    print(json.dumps(rec))
+    return rec
+
+
 def run_breakdown(batch_size, dtype, size, steps, args):
     """Time each of the four split programs in isolation."""
     import jax
@@ -256,6 +380,11 @@ def main():
     ap.add_argument('--reps', type=int, default=2)
     ap.add_argument('--warmup', type=int, default=2)
     ap.add_argument('--breakdown', action='store_true')
+    ap.add_argument('--mode', default=None,
+                    choices=['fwd', 'supervised', 'grad-backbone',
+                             'grad-head'],
+                    help='time an isolated piece instead of the full '
+                         'UDA step')
     ap.add_argument('--no-aux', action='store_true',
                     help='ablate the PFGST aux losses')
     ap.add_argument('--no-strongaug', action='store_true',
@@ -274,7 +403,11 @@ def main():
     recs = []
     for bsz in args.batch:
         for dt in dtypes:
-            if args.breakdown:
+            if args.mode:
+                recs.append(run_mode(args.mode, bsz, dt, args.size,
+                                     args.steps, args.reps,
+                                     args.warmup))
+            elif args.breakdown:
                 recs.append(run_breakdown(bsz, dt, args.size,
                                           args.steps, args))
             else:

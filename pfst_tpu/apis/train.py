@@ -409,6 +409,12 @@ def train_segmentor(cfg,
                          if isinstance(v, np.ndarray)}
 
     print_log('entering train loop (first step compiles)...', logger)
+    # diagnostic: PFST_REPEAT_FIRST_BATCH=1 trains on the first batch
+    # forever, removing ALL per-iter data-pipeline work — on a 1-core
+    # host the producer thread competes with dispatch for the CPU, so
+    # comparing s/iter with/without this isolates that contention
+    # (see PERF.md "train-loop vs pure-step gap")
+    repeat_first = os.environ.get('PFST_REPEAT_FIRST_BATCH') == '1'
     device_batch = put(first)
     t_data = 0.0
     t_last = time.time()
@@ -418,14 +424,15 @@ def train_segmentor(cfg,
                                               step_rng)
         ctx['iter'] = it + 1
         ctx['state'] = state
-        t0 = time.time()
-        try:
-            nxt = next(batch_iter)
-        except StopIteration:
-            batch_iter = iter(loader)
-            nxt = next(batch_iter)
-        device_batch = put(nxt)
-        t_data += time.time() - t0
+        if not repeat_first:
+            t0 = time.time()
+            try:
+                nxt = next(batch_iter)
+            except StopIteration:
+                batch_iter = iter(loader)
+                nxt = next(batch_iter)
+            device_batch = put(nxt)
+            t_data += time.time() - t0
 
         lazy_vars = LazyLogVars(log_vars)
         if (it + 1) % log_interval == 0:

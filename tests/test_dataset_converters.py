@@ -232,3 +232,173 @@ def test_isprs_color_semantics():
     for i, name in enumerate(names):
         got = np.unique(idx[i * 2:(i + 1) * 2])
         assert list(got) == [i + 1], (name, got)
+
+
+# ---- round-3: retina (chase_db1/drive/hrf/stare) + voc_aug ----------
+
+def _flat_zip(zip_path, files):
+    """zip of loose files: {name: ndarray-written-via-cv2-encoding}"""
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        with zipfile.ZipFile(zip_path, 'w') as zf:
+            for name, arr in files.items():
+                p = osp.join(tmp, name)
+                _write_png(p, arr)
+                zf.write(p, name)
+
+
+def test_chase_db1_converter(tmp_path):
+    import retina
+    rs = np.random.RandomState(0)
+    files = {}
+    for i in range(28):
+        stem = f'Image_{i:02d}'
+        files[f'{stem}.jpg'] = rs.randint(0, 255, (16, 16, 3), np.uint8)
+        for tag in ('1stHO', '2ndHO'):
+            files[f'{stem}_{tag}.png'] = (
+                rs.randint(0, 2, (16, 16), np.uint8) * 255)
+    _flat_zip(str(tmp_path / 'CHASEDB1.zip'), files)
+    out = tmp_path / 'out'
+    retina.main(['chase_db1', str(tmp_path / 'CHASEDB1.zip'),
+                 '-o', str(out)])
+    n_tr_img = len(os.listdir(out / 'images' / 'training'))
+    n_tr_ann = len(os.listdir(out / 'annotations' / 'training'))
+    assert n_tr_img + n_tr_ann == 60  # reference TRAINING_LEN split
+    # binarised annotations
+    ann = cv2.imread(
+        str(out / 'annotations' / 'training' /
+            os.listdir(out / 'annotations' / 'training')[0]),
+        cv2.IMREAD_UNCHANGED)
+    assert set(np.unique(ann)) <= {0, 1}
+
+
+def test_drive_converter(tmp_path):
+    import retina
+    rs = np.random.RandomState(0)
+    for src_split, n in (('training', 3), ('test', 2)):
+        stage = tmp_path / f'stage_{src_split}' / src_split
+        for i in range(n):
+            _write_png(str(stage / 'images' /
+                           f'{20 + i}_{src_split}.png'),
+                       rs.randint(0, 255, (16, 16, 3), np.uint8))
+            _write_png(str(stage / '1st_manual' /
+                           f'{20 + i}_manual1.png'),
+                       rs.randint(0, 2, (16, 16), np.uint8) * 255)
+        _zip_dir(str(tmp_path / f'{src_split}.zip'), str(stage))
+    out = tmp_path / 'out'
+    retina.main(['drive', str(tmp_path / 'training.zip'),
+                 str(tmp_path / 'test.zip'), '-o', str(out)])
+    assert len(os.listdir(out / 'images' / 'training')) == 3
+    assert len(os.listdir(out / 'images' / 'validation')) == 2
+    assert len(os.listdir(out / 'annotations' / 'training')) == 3
+
+
+def test_hrf_converter(tmp_path):
+    import retina
+    rs = np.random.RandomState(0)
+    zips = {}
+    for name in ('healthy', 'glaucoma', 'dr'):
+        zips[name] = str(tmp_path / f'{name}.zip')
+        _flat_zip(zips[name],
+                  {f'{i:02d}_{name}.jpg':
+                   rs.randint(0, 255, (8, 8, 3), np.uint8)
+                   for i in range(15)})
+        zips[name + '_m'] = str(tmp_path / f'{name}_m.zip')
+        _flat_zip(zips[name + '_m'],
+                  {f'{i:02d}_{name}.tif':
+                   rs.randint(0, 2, (8, 8), np.uint8) * 255
+                   for i in range(15)})
+    out = tmp_path / 'out'
+    retina.main(['hrf', zips['healthy'], zips['healthy_m'],
+                 zips['glaucoma'], zips['glaucoma_m'], zips['dr'],
+                 zips['dr_m'], '-o', str(out)])
+    assert len(os.listdir(out / 'images' / 'training')) == 15
+    assert len(os.listdir(out / 'images' / 'validation')) == 30
+    assert len(os.listdir(out / 'annotations' / 'training')) == 15
+
+
+def test_stare_converter(tmp_path):
+    import gzip as gz
+    import tarfile
+
+    import retina
+    rs = np.random.RandomState(0)
+
+    def tar_of_gz(tar_path, files):
+        import io
+        with tarfile.open(tar_path, 'w') as tf:
+            for name, arr in files.items():
+                ok, buf = cv2.imencode('.ppm', arr)
+                assert ok
+                payload = gz.compress(buf.tobytes())
+                info = tarfile.TarInfo(name + '.gz')
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+
+    imgs = {f'im{i:04d}.ppm': rs.randint(0, 255, (8, 8, 3), np.uint8)
+            for i in range(12)}
+    def bin3(shape=(8, 8)):  # .ppm needs 3 channels; real STARE masks
+        m = rs.randint(0, 2, shape, np.uint8) * 255
+        return np.stack([m, m, m], axis=-1)
+
+    ah = {f'im{i:04d}.ah.ppm': bin3() for i in range(12)}
+    vk = {f'im{i:04d}.vk.ppm': bin3() for i in range(12)}
+    tar_of_gz(str(tmp_path / 'stare-images.tar'), imgs)
+    tar_of_gz(str(tmp_path / 'labels-ah.tar'), ah)
+    tar_of_gz(str(tmp_path / 'labels-vk.tar'), vk)
+    out = tmp_path / 'out'
+    retina.main(['stare', str(tmp_path / 'stare-images.tar'),
+                 str(tmp_path / 'labels-ah.tar'),
+                 str(tmp_path / 'labels-vk.tar'), '-o', str(out)])
+    assert len(os.listdir(out / 'images' / 'training')) == 10
+    assert len(os.listdir(out / 'images' / 'validation')) == 2
+    assert len(os.listdir(out / 'annotations' / 'training')) == 20
+
+
+def test_voc_aug_converter(tmp_path):
+    from scipy.io import savemat
+
+    import voc_aug
+    rs = np.random.RandomState(0)
+    # tiny devkit + SBD trees; 3 aug-train + 1 ori-train + 1 val
+    sbd_cls = tmp_path / 'sbd' / 'dataset' / 'cls'
+    os.makedirs(sbd_cls)
+    names = [f'2007_{i:06d}' for i in range(4)]
+    for n in names[:3] + [names[3]]:
+        mask = rs.randint(0, 21, (8, 8)).astype(np.uint8)
+        savemat(str(sbd_cls / f'{n}.mat'),
+                {'GTcls': {'Segmentation': mask}})
+    with open(tmp_path / 'sbd' / 'dataset' / 'train.txt', 'w') as f:
+        f.write('\n'.join(names[:3]) + '\n')
+    with open(tmp_path / 'sbd' / 'dataset' / 'val.txt', 'w') as f:
+        f.write(names[3] + '\n')
+    seg_sets = tmp_path / 'devkit' / 'VOC2012' / 'ImageSets' / \
+        'Segmentation'
+    os.makedirs(seg_sets)
+    with open(seg_sets / 'train.txt', 'w') as f:
+        f.write('2007_900000\n')
+    with open(seg_sets / 'val.txt', 'w') as f:
+        f.write(names[3] + '\n')
+
+    import importlib
+    importlib.reload(voc_aug)
+    voc_aug.AUG_LEN = 4  # scaled-down corpus
+    out = tmp_path / 'aug_out'
+    voc_aug.main([str(tmp_path / 'devkit'), str(tmp_path / 'sbd'),
+                  '-o', str(out)])
+    assert len(os.listdir(out)) == 4
+    with open(seg_sets / 'trainaug.txt') as f:
+        lines = [l.strip() for l in f]
+    assert len(lines) == 4 and names[3] not in lines
+
+
+def test_pascal_context_mapping():
+    from pascal_context import _mapping, class_to_index
+    rs = np.random.RandomState(0)
+    raw = rs.choice(_mapping, size=(8, 8))
+    idx = class_to_index(raw)
+    assert idx.dtype == np.uint8
+    assert idx.max() < len(_mapping)
+    # mapping is the rank of the raw id in the sorted table
+    np.testing.assert_array_equal(
+        idx, np.searchsorted(_mapping, raw).astype(np.uint8))
