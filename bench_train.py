@@ -114,6 +114,16 @@ def program_flops(step, state, batch, rng):
         return float('nan')
 
 
+def put_batches(batches):
+    """Pre-transfer batches to device (control for the tunnel's
+    host->device bandwidth: with resident inputs the chain times pure
+    device compute)."""
+    import jax
+    out = [jax.device_put(b) for b in batches]
+    jax.block_until_ready(out)
+    return out
+
+
 def timed_chain(step, state, batches, rngs):
     """Enqueue len(batches) steps chained through the donated state,
     block once, return (wall_seconds, final_state)."""
@@ -153,6 +163,8 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
     for rep in range(reps):
         batches = [make_batch(rs, batch_size, size)
                    for _ in range(steps)]
+        if getattr(args, 'device_inputs', False):
+            batches = put_batches(batches)
         rngs = [jax.random.fold_in(rng, rep * steps + i)
                 for i in range(steps)]
         dt, state = timed_chain(step, state, batches, rngs)
@@ -391,6 +403,9 @@ def main():
                     help='ablate jitter/blur')
     ap.add_argument('--fused', action='store_true',
                     help='single fused program instead of split')
+    ap.add_argument('--device-inputs', action='store_true',
+                    help='pre-transfer batches to device before '
+                         'timing (isolates tunnel transfer cost)')
     ap.add_argument('--flops', action='store_true',
                     help='also report compiler-counted FLOPs/MFU')
     ap.add_argument('--json-out', default=None)

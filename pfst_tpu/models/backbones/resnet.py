@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -91,6 +92,55 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _S2DConvInner(nn.Module):
+    """The stem's 3x3/s2 conv computed as a 2x2/s1 conv over
+    space-to-depth input (MLPerf ResNet trick).
+
+    Declares the ordinary (3, 3, cin, out) kernel under the SAME param
+    path as ``ConvModule``'s conv — checkpoints and converters are
+    unaffected.  In-trace the kernel is zero-padded to 4x4 and
+    re-blocked so the contraction runs over 4*cin input channels (12
+    for RGB), which tiles the MXU far better than 3."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            'kernel',
+            nn.initializers.variance_scaling(2.0, 'fan_out',
+                                             'truncated_normal'),
+            (3, 3, cin, self.features), jnp.float32)
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h2, w2 = (h + 2) // 2, (w + 2) // 2
+        s = xp.reshape(b, h2, 2, w2, 2, cin).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h2, w2, 4 * cin)
+        k4 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        k = k4.reshape(2, 2, 2, 2, cin, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * cin, self.features)
+        return jax.lax.conv_general_dilated(
+            s.astype(self.dtype), k.astype(self.dtype), (1, 1),
+            'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class _S2DStemConv(nn.Module):
+    """ConvModule twin (conv+norm+relu) using the s2d stem conv."""
+    features: int
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _S2DConvInner(self.features, dtype=self.dtype,
+                          name='conv')(x)
+        x = Norm(self.features, self.norm_cfg, dtype=self.dtype,
+                 name='norm')(x, train=train)
+        return nn.relu(x)
+
+
 class _Downsample(nn.Module):
     features: int
     stride: int
@@ -137,6 +187,10 @@ class ResNet(nn.Module):
     multi_grid: Optional[Sequence[int]] = None
     zero_init_residual: bool = True
     with_cp: bool = False
+    # opt-in space-to-depth stem rewrite (deep_stem only): identical
+    # math + identical param tree, denser MXU tiling on the 3-channel
+    # first conv (see _S2DConvInner)
+    s2d_stem: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -175,9 +229,22 @@ class ResNet(nn.Module):
         stem_train = train and not self.norm_eval and self.frozen_stages < 0
         if self.deep_stem:
             half = self.stem_channels // 2
-            x = ConvModule(half, 3, stride=2, padding=1,
-                           norm_cfg=self.norm_cfg, dtype=self.dtype,
-                           name='stem_conv1')(x, train=stem_train)
+            if self.s2d_stem:
+                # space-to-depth rewrite of the 3x3/s2 stem conv
+                # (MLPerf-style): the 3-channel input pads to the MXU
+                # lane width very wastefully; rearranging 2x2 pixel
+                # blocks into 12 channels runs the SAME weights (the
+                # kernel is zero-padded to 4x4 and re-blocked in-trace,
+                # so checkpoints stay compatible) as a denser
+                # 2x2/s1 conv at half resolution. Bit-equivalent up to
+                # float summation order; tests/test_models_extra.py
+                x = _S2DStemConv(half, norm_cfg=self.norm_cfg,
+                                 dtype=self.dtype,
+                                 name='stem_conv1')(x, train=stem_train)
+            else:
+                x = ConvModule(half, 3, stride=2, padding=1,
+                               norm_cfg=self.norm_cfg, dtype=self.dtype,
+                               name='stem_conv1')(x, train=stem_train)
             x = ConvModule(half, 3, stride=1, padding=1,
                            norm_cfg=self.norm_cfg, dtype=self.dtype,
                            name='stem_conv2')(x, train=stem_train)

@@ -175,3 +175,36 @@ def test_transformer_with_cp_remat_equivalence(cfg_fn):
                     jax.tree.leaves(results[True][2])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_s2d_stem_equivalence():
+    """The space-to-depth stem rewrite (``resnet.py _S2DConvInner``)
+    is bit-compatible: same param tree, same outputs (up to float
+    summation order) as the plain 3x3/s2 deep-stem conv."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from pfst_tpu.models.builder import build_backbone
+
+    cfg = dict(type='ResNetV1c', depth=18, num_stages=2,
+               base_channels=8, stem_channels=8, out_indices=(0, 1),
+               strides=(1, 2), dilations=(1, 1),
+               norm_cfg=dict(type='BN', requires_grad=True))
+    plain = build_backbone(dict(cfg))
+    s2d = build_backbone(dict(cfg, s2d_stem=True))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    variables = plain.init({'params': jax.random.PRNGKey(0)}, x)
+    # identical param tree: the s2d model must accept the plain
+    # model's variables verbatim
+    out_a = plain.apply(variables, x)
+    out_b = s2d.apply(variables, x)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+    # and the reverse init produces the same tree structure
+    v2 = s2d.init({'params': jax.random.PRNGKey(0)}, x)
+    ka = jax.tree_util.tree_structure(variables)
+    kb = jax.tree_util.tree_structure(v2)
+    assert ka == kb
