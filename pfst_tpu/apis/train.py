@@ -125,9 +125,13 @@ class SupervisedTrainer:
     def make_train_step(self, tx, mean, std, collect_vis=False,
                         donate=True, axis_name=None, jit=True):
         from ..models.uda.pfgst import parse_losses
+        from ..models.uda.uda_decorator import maybe_normalize_images
         model = self.model
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
 
         def step_fn(state, batch, rng):
+            batch = maybe_normalize_images(batch, mean, std)
             img = batch['img']
             gt = batch['gt_semantic_seg'].astype(jnp.int32)
 
@@ -227,7 +231,8 @@ def _img_norm_from_pipeline(cfg) -> Dict[str, Any]:
 
     def search(pipeline):
         for t in pipeline or []:
-            if t.get('type') in ('Normalize', 'ClipNormalize'):
+            if t.get('type') in ('Normalize', 'DeferNormalize',
+                                 'ClipNormalize'):
                 return dict(mean=list(t['mean']), std=list(t['std']))
         return None
 
@@ -240,6 +245,50 @@ def _img_norm_from_pipeline(cfg) -> Dict[str, Any]:
         if found:
             return found
     return dict(mean=[0.0, 0.0, 0.0], std=[1.0, 1.0, 1.0])
+
+
+def apply_device_normalize(cfg):
+    """``cfg.data.device_normalize`` (True or 'float16'/'uint8'):
+    swap every train-pipeline ``Normalize`` for ``DeferNormalize`` so
+    images cross the host->device link half- (or quarter-) width and
+    are normalized inside the jitted step — the link is the train-loop
+    bottleneck on tunneled/thin-PCIe hosts (PERF.md).
+
+    Refuses pipelines whose ``Pad`` size differs from the crop size:
+    a real pad would land at -mean/std after device normalization
+    instead of the reference's 0-in-normalized-space."""
+    opt = cfg.data.get('device_normalize')
+    if not opt:
+        return cfg
+    wire = opt if isinstance(opt, str) else 'float16'
+
+    def walk(node):
+        if isinstance(node, dict):
+            pipeline = node.get('pipeline')
+            if isinstance(pipeline, (list, tuple)):
+                crop = None
+                for t in pipeline:
+                    if t.get('type') == 'RandomCrop':
+                        crop = tuple(t.get('crop_size') or ())
+                for t in pipeline:
+                    if t.get('type') == 'Pad':
+                        size = tuple(t.get('size') or ())
+                        if crop is not None and size and size != crop:
+                            raise ValueError(
+                                'device_normalize needs Pad size == '
+                                f'crop size, got {size} vs {crop}')
+                for t in pipeline:
+                    if t.get('type') == 'Normalize':
+                        t['type'] = 'DeferNormalize'
+                        t['wire_dtype'] = wire
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(cfg.data['train'])
+    return cfg
 
 
 def build_algorithm(cfg):
@@ -267,6 +316,7 @@ def train_segmentor(cfg,
         osp.join(work_dir, 'train.log') if work_dir else None)
     set_random_seed(seed)
 
+    apply_device_normalize(cfg)
     train_ds = build_dataset(cfg.data['train'])
     samples_per_gpu = cfg.data.get('samples_per_gpu', 2)
     workers_per_gpu = cfg.data.get('workers_per_gpu', 2)

@@ -6,6 +6,7 @@ from .loading import (AnnotationMapperInria, LoadAnnotations,
                       LoadAnnotationsPseudoLabelsV2, LoadImageFromFile)
 from .test_time_aug import MultiScaleFlipAug
 from .transforms import (CLAHE, AdjustGamma, ClipNormalize,
+                         DeferNormalize,
                          MultiDomainClipNormalize, Normalize, Pad,
                          PercentileNormalize, PhotoMetricDistortion,
                          RandomCrop, RandomFlip, RandomRotate,
@@ -18,7 +19,8 @@ __all__ = [
     'LoadAnnotationsGTA', 'LoadAnnotationsDepth',
     'LoadAnnotationsPseudoLabelsV2', 'AnnotationMapperInria',
     'MultiScaleFlipAug', 'Resize', 'RandomCrop', 'RandomFlip',
-    'RandomRotate90', 'RandomRotate', 'Pad', 'Normalize', 'ClipNormalize',
+    'RandomRotate90', 'RandomRotate', 'Pad', 'Normalize', 'DeferNormalize',
+    'ClipNormalize',
     'PercentileNormalize', 'MultiDomainClipNormalize', 'Rerange', 'CLAHE',
     'RGB2Gray', 'AdjustGamma', 'SegRescale', 'Uint82Float',
     'PhotoMetricDistortion', 'StrongAugmentation'

@@ -341,6 +341,56 @@ class Normalize:
 
 
 @PIPELINES.register_module()
+class DeferNormalize:
+    """Normalize-on-DEVICE: ship images over the host->device link in
+    the 0-255 domain as float16 (or uint8) and let the jitted train
+    step apply (x - mean)/std.
+
+    Drop-in replacement for ``Normalize`` in a train pipeline (same
+    cfg surface; ``cfg.data.device_normalize = True`` swaps it in
+    automatically — see ``apis/train.py``). Halves (fp16) or quarters
+    (uint8, lossy for float augmentations) the per-iteration image
+    transfer bytes; on bandwidth-starved links (tunneled chips, thin
+    PCIe) that is the train-loop bottleneck — see PERF.md.
+
+    The BGR->RGB flip still happens host-side. Pad values: shipped
+    configs pad crops to the crop size itself (no-op); a real pad
+    would land at -mean/std instead of 0 after device normalization,
+    so the auto-swap refuses pipelines whose Pad size differs from
+    the crop size.
+    """
+
+    def __init__(self, mean, std, to_rgb=True, wire_dtype='float16'):
+        self.mean = np.array(mean, np.float32)
+        self.std = np.array(std, np.float32)
+        self.to_rgb = to_rgb
+        assert wire_dtype in ('float16', 'uint8'), wire_dtype
+        self.wire_dtype = wire_dtype
+
+    def _prep(self, img):
+        if self.to_rgb and img.ndim == 3 and img.shape[2] == 3:
+            img = img[..., ::-1]
+        if self.wire_dtype == 'uint8':
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(img, np.float16)
+
+    def __call__(self, results):
+        for key in results.get('img_fields', ['img']):
+            results[key] = self._prep(results[key])
+        if 'ori_img' in results:
+            results['ori_img'] = self._prep(results['ori_img'])
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
+                                       to_rgb=self.to_rgb,
+                                       deferred=True)
+        return results
+
+    def __repr__(self):
+        return (f'{self.__class__.__name__}(mean={self.mean.tolist()},'
+                f' std={self.std.tolist()}, to_rgb={self.to_rgb}, '
+                f'wire_dtype={self.wire_dtype})')
+
+
+@PIPELINES.register_module()
 class ClipNormalize:
     """mean±2std clip to [0,1] (optionally uint8 0-255) for uint16 TIFF
     (``transforms.py:1166-1212``, SeasonNet)."""

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ...utils.misc import add_prefix
 from ..builder import UDA, build_loss
 from ..utils.dacs_transforms import get_class_masks, strong_transform
-from .uda_decorator import UDADecorator, UDATrainState
+from .uda_decorator import (UDADecorator, UDATrainState,
+                            maybe_normalize_images)
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]):
@@ -408,6 +409,7 @@ class PFGST(UDADecorator):
         std = jnp.asarray(std, jnp.float32)
 
         def step_fn(state: UDATrainState, batch, rng, premix=None):
+            batch = maybe_normalize_images(batch, mean, std)
             state = self.ema_update(state, self.alpha)
 
             def loss_fn(params):
@@ -458,11 +460,15 @@ class PFGST(UDADecorator):
         # extra HBM round-trips; semantics identical to the fused step.
         @jax.jit
         def teacher_jit(ema_params, ema_batch_stats, target_img):
+            if target_img.dtype in (jnp.float16, jnp.uint8):
+                target_img = (target_img.astype(jnp.float32) -
+                              mean) / std
             return self.teacher_forward(ema_params, ema_batch_stats,
                                         target_img)
 
         @jax.jit
         def mix_jit(batch, rng, teacher_out):
+            batch = maybe_normalize_images(batch, mean, std)
             return self.teacher_and_mix(None, None, batch, rng, mean,
                                         std, teacher_out=teacher_out)
 

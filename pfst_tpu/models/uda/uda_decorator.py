@@ -35,6 +35,22 @@ class UDATrainState:
     imnet_params: Any = None
 
 
+def maybe_normalize_images(batch, mean, std):
+    """Deferred normalization (``DeferNormalize`` pipeline): image
+    arrays shipped in the 0-255 domain as float16/uint8 are normalized
+    on device; already-normalized float32 batches pass through
+    untouched.  Applied at the top of every train-step program so
+    single-chip, split-compile and shard_map paths all honor the wire
+    format."""
+    out = dict(batch)
+    for k, v in batch.items():
+        if v is None or not hasattr(v, 'dtype'):
+            continue
+        if 'img' in k and v.dtype in (jnp.float16, jnp.uint8):
+            out[k] = (v.astype(jnp.float32) - mean) / std
+    return out
+
+
 class UDADecorator:
     """Common construction + inference delegation to the student."""
 

@@ -1,0 +1,134 @@
+"""Deferred (on-device) normalization: wire-format transform, step
+equivalence, and the cfg auto-swap."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from conftest import tiny_model_cfg
+from pfst_tpu.apis.train import apply_device_normalize
+from pfst_tpu.datasets.pipelines import DeferNormalize, Normalize
+from pfst_tpu.models import build_train_model
+
+MEAN = [123.675, 116.28, 103.53]
+STD = [58.395, 57.12, 57.375]
+
+
+def test_defer_normalize_wire_formats():
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (16, 16, 3)).astype(np.float32)
+    out = DeferNormalize(MEAN, STD)(
+        {'img': img.copy(), 'img_fields': ['img']})
+    assert out['img'].dtype == np.float16
+    assert out['img_norm_cfg']['deferred'] is True
+    # BGR->RGB flip happens host-side, values stay 0-255
+    np.testing.assert_array_equal(np.asarray(out['img'], np.float32),
+                                  img[..., ::-1])
+    out8 = DeferNormalize(MEAN, STD, wire_dtype='uint8')(
+        {'img': img.copy(), 'img_fields': ['img']})
+    assert out8['img'].dtype == np.uint8
+    # the device-side (x-mean)/std of the wire image equals host
+    # Normalize output exactly for integer-valued images
+    host = Normalize(MEAN, STD)({'img': img.copy(),
+                                 'img_fields': ['img']})['img']
+    dev = (np.asarray(out['img'], np.float32) -
+           np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def _uda_cfg():
+    return dict(
+        uda=dict(type='PFGST', alpha=0.999, pseudo_threshold=0.9,
+                 mix='class', blur=False,
+                 color_jitter_probability=1.0,
+                 color_jitter_strength=0.2, thre_type='all',
+                 aux_losses=[]),
+        model=tiny_model_cfg(),
+        runner=dict(max_iters=10))
+
+
+@pytest.mark.parametrize('split', [False, True])
+def test_deferred_step_matches_host_normalized(split):
+    algo = build_train_model(_uda_cfg())
+    tx = optax.adamw(1e-3)
+    rs = np.random.RandomState(0)
+    mean = np.asarray(MEAN, np.float32)
+    std = np.asarray(STD, np.float32)
+    raw = {k: rs.randint(0, 256, (2, 32, 32, 3)).astype(np.float32)
+           for k in ('img', 'target_img', 'target_img_strong_aug')}
+    gt = rs.randint(0, 6, (2, 32, 32)).astype(np.int32)
+
+    host_batch = {k: (v - mean) / std for k, v in raw.items()}
+    host_batch['gt_semantic_seg'] = gt
+    wire_batch = {k: v.astype(np.float16) for k, v in raw.items()}
+    wire_batch['gt_semantic_seg'] = gt
+
+    rng = jax.random.PRNGKey(3)
+    outs = []
+    for batch in (host_batch, wire_batch):
+        state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                                tx)
+        step = algo.make_train_step(tx, mean=MEAN, std=STD,
+                                    donate=False,
+                                    split_compile=split)
+        _, log_vars, _ = step(state, batch, rng)
+        outs.append({k: float(v) for k, v in log_vars.items()})
+    for k in outs[0]:
+        # acc_seg is an argmax metric: numpy's (x-mean)/std and XLA's
+        # fused multiply-by-reciprocal round differently, so near-tie
+        # pixels may flip — allow a handful of the 2*32*32 pixels
+        tol = dict(rtol=2e-3, atol=2e-3) if 'acc' not in k else \
+            dict(rtol=0, atol=0.5)
+        np.testing.assert_allclose(
+            outs[0][k], outs[1][k], **tol,
+            err_msg=f'{k} differs between host and deferred '
+                    f'normalization (split={split})')
+
+
+def test_apply_device_normalize_swaps_nested_pipelines():
+    cfg_data = {
+        'device_normalize': True,
+        'train': {
+            'type': 'UDADataset',
+            'source': {'pipeline': [
+                {'type': 'LoadImageFromFile'},
+                {'type': 'RandomCrop', 'crop_size': (64, 64)},
+                {'type': 'Normalize', 'mean': MEAN, 'std': STD,
+                 'to_rgb': True},
+                {'type': 'Pad', 'size': (64, 64)},
+            ]},
+            'target': {'pipeline': [
+                {'type': 'Normalize', 'mean': MEAN, 'std': STD,
+                 'to_rgb': True},
+            ]},
+        },
+    }
+
+    class C:
+        data = cfg_data
+
+    apply_device_normalize(C)
+    src = cfg_data['train']['source']['pipeline']
+    assert src[2]['type'] == 'DeferNormalize'
+    assert src[2]['wire_dtype'] == 'float16'
+    trg = cfg_data['train']['target']['pipeline']
+    assert trg[0]['type'] == 'DeferNormalize'
+
+
+def test_apply_device_normalize_refuses_real_pad():
+    cfg_data = {
+        'device_normalize': True,
+        'train': {'pipeline': [
+            {'type': 'RandomCrop', 'crop_size': (64, 64)},
+            {'type': 'Normalize', 'mean': MEAN, 'std': STD},
+            {'type': 'Pad', 'size': (128, 128)},
+        ]},
+    }
+
+    class C:
+        data = cfg_data
+
+    with pytest.raises(ValueError):
+        apply_device_normalize(C)
