@@ -16,6 +16,8 @@ from flax import linen as nn
 from ..builder import BACKBONES, build_backbone
 
 _TIMM_MAP = {
+    'resnet18': dict(type='ResNet', depth=18),
+    'resnet34': dict(type='ResNet', depth=34),
     'resnet50': dict(type='ResNet', depth=50),
     'resnet101': dict(type='ResNet', depth=101),
     'resnest50d': dict(type='ResNeSt', depth=50),

@@ -593,7 +593,25 @@ def main(args=None):
         state_dict = {k: v for k, v in state_dict.items()
                       if prefix in k}
     cfg = Config.fromfile(args.config)
-    arch = TRANSFORMER_ARCHS.get(cfg.model['backbone']['type'])
+    bb_type = cfg.model['backbone']['type']
+    # timm/torchvision-style checkpoints carry bare backbone keys
+    # (conv1.weight, layer1.0...., no 'backbone.' prefix): prefix them
+    # so the standard mapping applies; classifier heads (fc.*) fall
+    # into the skipped list naturally
+    known_tops = ('backbone.', 'decode_head.', 'auxiliary_head.',
+                  'module.', 'model.', 'ema_model.')
+    if not any(k.startswith(known_tops) for k in state_dict):
+        state_dict = {'backbone.' + k: v for k, v in
+                      state_dict.items()}
+        print('bare (timm/torchvision-style) state dict: '
+              'prefixed all keys with backbone.')
+    if bb_type == 'TIMMBackbone':
+        # resolve the adapter's inner backbone for arch dispatch
+        from pfst_tpu.models.backbones.timm_backbone import _TIMM_MAP
+        inner = _TIMM_MAP[cfg.model['backbone'].get(
+            'model_name', 'resnet50')]
+        bb_type = inner['type']
+    arch = TRANSFORMER_ARCHS.get(bb_type)
     if arch is not None:
         params, batch_stats, skipped = convert_transformer_state_dict(
             state_dict, arch, prefix if has_uda_prefix else '')
@@ -604,6 +622,12 @@ def main(args=None):
           f'{len(skipped)} keys skipped')
     if skipped:
         print('skipped (first 10):', skipped[:10])
+    if cfg.model['backbone']['type'] == 'TIMMBackbone':
+        # the adapter nests the resolved backbone under 'inner'
+        for tree in (params, batch_stats):
+            if 'backbone_mod' in tree:
+                tree['backbone_mod'] = {
+                    'inner': tree.pop('backbone_mod')}
 
     model_cfg = dict(cfg.model)
     model_cfg['pretrained'] = None
