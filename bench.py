@@ -78,6 +78,58 @@ def _program_flops(fn, variables, img):
         return float('nan')
 
 
+def bench_train_step():
+    """Sustained full-UDA-train-step rate (batch 2, bf16), measured
+    twice: with host-numpy batches (includes the host->device batch
+    transfer — the tunnel-inclusive wall number) and with
+    device-resident batches (pure device compute).  On bandwidth-
+    starved links the two diverge by the transfer time; see PERF.md.
+    Set PFST_BENCH_TRAIN=0 to skip (saves the compile)."""
+    import os
+    if os.environ.get('PFST_BENCH_TRAIN', '1') == '0':
+        return {}
+    import jax
+
+    import bench_train as bt
+
+    batch_size, steps = 2, 10
+    try:
+        _, state, step = bt.build(batch_size, SIZE, 'bf16')
+        rs = np.random.RandomState(0)
+        rng = jax.random.PRNGKey(7)
+        for i in range(2):  # compile + warm
+            state, lv, _ = step(state, bt.make_batch(rs, batch_size,
+                                                     SIZE),
+                                jax.random.fold_in(rng, 900 + i))
+        _ = np.asarray(lv['loss'])
+
+        out = {}
+        for label, resident in (('train_s_per_iter_with_transfers',
+                                 False),
+                                ('train_s_per_iter', True)):
+            best = None
+            for rep in range(2):
+                batches = [bt.make_batch(rs, batch_size, SIZE)
+                           for _ in range(steps)]
+                if resident:
+                    batches = bt.put_batches(batches)
+                rngs = [jax.random.fold_in(rng, rep * steps + i)
+                        for i in range(steps)]
+                dt, state = bt.timed_chain(step, state, batches, rngs)
+                per = dt / steps
+                best = per if best is None else min(best, per)
+            out[label] = round(best, 4)
+        out['train_img_per_sec'] = round(
+            batch_size / out['train_s_per_iter'], 2)
+        out['train_note'] = (
+            'full PFGST UDA iteration (EMA+teacher+ClassMix+2x '
+            'fwd+bwd+PFGST losses+AdamW), 512^2 batch 2 bf16; '
+            '_with_transfers includes host->device batch transfer')
+        return out
+    except Exception as e:  # the headline metric must still print
+        return {'train_bench_error': f'{type(e).__name__}: {e}'}
+
+
 def main():
     from pfst_tpu.utils.set_env import setup_environment
     setup_environment()
@@ -125,6 +177,7 @@ def main():
         rec['achieved_tflops'] = round(achieved, 1)
         rec['mfu_pct_v5e_bf16'] = round(
             100 * achieved / V5E_BF16_PEAK_TFLOPS, 1)
+    rec.update(bench_train_step())
     print(json.dumps(rec))
 
 

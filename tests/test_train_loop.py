@@ -10,6 +10,10 @@ import pytest
 from conftest import tiny_model_cfg
 from pfst_tpu.utils.config import Config
 
+# full train-loop drives (minutes each): excluded from the fast path
+# (`pytest -m "not slow"`); run them before shipping loop changes
+pytestmark = pytest.mark.slow
+
 IMG_NORM = dict(mean=[123.675, 116.28, 103.53],
                 std=[58.395, 57.12, 57.375], to_rgb=True)
 CROP = (32, 32)
