@@ -451,12 +451,23 @@ def train_segmentor(cfg,
             step_fn = algo.make_train_step(tx, norm['mean'],
                                            norm['std'],
                                            collect_vis=collect_vis)
-        # pass numpy batches STRAIGHT to the jitted step: transfers
-        # then ride the execute-argument fast path (measured 2.7 GB/s
-        # on the tunneled TPU vs ~36 MB/s for an explicit device_put
-        # — a 75x difference; see PERF.md "Data loading")
-        put = lambda b: {k: v for k, v in b.items()  # noqa: E731
-                         if isinstance(v, np.ndarray)}
+        # pass numpy batches STRAIGHT to the jitted step (transfers
+        # ride the execute-argument path; see PERF.md "Data loading").
+        # With device_normalize on, labels also travel as uint8 (the
+        # ignore index 255 and any num_classes <= 255 fit) — every
+        # byte matters when the link is the bottleneck.
+        compress_gt = bool(cfg.data.get('device_normalize'))
+
+        def put(b):
+            out = {}
+            for k, v in b.items():
+                if not isinstance(v, np.ndarray):
+                    continue
+                if compress_gt and 'seg' in k and \
+                        v.dtype in (np.int32, np.int64):
+                    v = v.astype(np.uint8)
+                out[k] = v
+            return out
 
     print_log('entering train loop (first step compiles)...', logger)
     # diagnostic: PFST_REPEAT_FIRST_BATCH=1 trains on the first batch

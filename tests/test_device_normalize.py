@@ -63,7 +63,8 @@ def test_deferred_step_matches_host_normalized(split):
     host_batch = {k: (v - mean) / std for k, v in raw.items()}
     host_batch['gt_semantic_seg'] = gt
     wire_batch = {k: v.astype(np.float16) for k, v in raw.items()}
-    wire_batch['gt_semantic_seg'] = gt
+    # labels also travel compressed (uint8; 255-ignore fits)
+    wire_batch['gt_semantic_seg'] = gt.astype(np.uint8)
 
     rng = jax.random.PRNGKey(3)
     outs = []
