@@ -124,14 +124,22 @@ def put_batches(batches):
     return out
 
 
-def timed_chain(step, state, batches, rngs):
+def timed_chain(step, state, batches, rngs, device_put=True):
     """Enqueue len(batches) steps chained through the donated state,
-    block once, return (wall_seconds, final_state)."""
+    block once, return (wall_seconds, final_state).
+
+    ``device_put`` mirrors the train loop's transfer mode (explicit
+    device_put, ~430 MB/s on this toolchain vs ~40-60 MB/s for numpy
+    execute-arguments — see PERF.md); the put is timed (it happens
+    inside the loop, like training)."""
     import jax
 
     t0 = time.perf_counter()
     log_vars = None
     for b, r in zip(batches, rngs):
+        if device_put and isinstance(
+                next(iter(b.values())), np.ndarray):
+            b = jax.device_put(b)
         state, log_vars, _ = step(state, b, r)
     loss = np.asarray(log_vars['loss'])
     leaf = np.asarray(

@@ -451,12 +451,20 @@ def train_segmentor(cfg,
             step_fn = algo.make_train_step(tx, norm['mean'],
                                            norm['std'],
                                            collect_vis=collect_vis)
-        # pass numpy batches STRAIGHT to the jitted step (transfers
-        # ride the execute-argument path; see PERF.md "Data loading").
+        # Transfer mode (round-3 re-measurement, PERF.md "Data
+        # loading"): on the current toolchain an explicit
+        # jax.device_put moves batches at ~430 MB/s while passing
+        # numpy as execute arguments crawls at ~40-60 MB/s — the
+        # REVERSE of the round-2 measurement, and the difference was
+        # the whole training-throughput mystery. device_put is the
+        # default; PFST_TRANSFER=execute_arg restores the old path for
+        # toolchains where it wins. The put happens right after the
+        # step dispatch so the copy overlaps device compute.
         # With device_normalize on, labels also travel as uint8 (the
-        # ignore index 255 and any num_classes <= 255 fit) — every
-        # byte matters when the link is the bottleneck.
+        # ignore index 255 and any num_classes <= 255 fit).
         compress_gt = bool(cfg.data.get('device_normalize'))
+        use_device_put = os.environ.get(
+            'PFST_TRANSFER', 'device_put') != 'execute_arg'
 
         def put(b):
             out = {}
@@ -467,7 +475,7 @@ def train_segmentor(cfg,
                         v.dtype in (np.int32, np.int64):
                     v = v.astype(np.uint8)
                 out[k] = v
-            return out
+            return jax.device_put(out) if use_device_put else out
 
     print_log('entering train loop (first step compiles)...', logger)
     # diagnostic: PFST_REPEAT_FIRST_BATCH=1 trains on the first batch
