@@ -505,9 +505,14 @@ def train_segmentor(cfg,
 
         lazy_vars = LazyLogVars(log_vars)
         if (it + 1) % log_interval == 0:
-            dt = time.time() - t_last
+            # materialize BEFORE reading the clock: fetching the log
+            # vars blocks on all queued device work, and that wait
+            # belongs to this window (otherwise a dispatch-only time
+            # is reported — observed 0.02 "s/iter" while wall
+            # timestamps said 0.2)
             msg = ', '.join(f'{k}: {float(v):.4f}'
                             for k, v in sorted(lazy_vars.items()))
+            dt = time.time() - t_last
             print_log(
                 f'Iter [{it + 1}/{max_iters}] '
                 f'time: {dt / log_interval:.3f}s '
