@@ -324,7 +324,11 @@ def train_segmentor(cfg,
     # optional tensor parallelism: cfg.parallel.tp devices shard the
     # transformer block weights (Megatron layout, parallel/tp.py); the
     # remaining n_dev // tp devices form the data axis
-    tp_size = int((cfg.get('parallel') or {}).get('tp', 1))
+    par_cfg = cfg.get('parallel') or {}
+    tp_size = int(par_cfg.get('tp', 1))
+    # ZeRO-1 optimizer-state sharding (parallel/zero.py): partitions
+    # the AdamW moments over the data axis instead of replicating them
+    zero_on = bool(par_cfg.get('zero', False))
     if tp_size > 1:
         assert n_dev % tp_size == 0, \
             f'{n_dev} devices not divisible by parallel.tp={tp_size}'
@@ -421,13 +425,32 @@ def train_segmentor(cfg,
     if tp_size > 1:
         from ..parallel import tp as tp_mod
         mesh2 = tp_mod.get_2d_mesh(n_model=tp_size)
-        state = tp_mod.shard_state(state, mesh2)
-        step_fn = tp_mod.make_tp_train_step(algo, tx, norm['mean'],
-                                            norm['std'], mesh2,
-                                            collect_vis=collect_vis)
+        if zero_on:
+            from ..parallel import zero as zero_mod
+            state = zero_mod.shard_state(
+                state, mesh2, tp_rules=tp_mod.DEFAULT_TP_RULES)
+            step_fn = zero_mod.make_zero_train_step(
+                algo, tx, norm['mean'], norm['std'], mesh2,
+                tp_rules=tp_mod.DEFAULT_TP_RULES,
+                collect_vis=collect_vis)
+        else:
+            state = tp_mod.shard_state(state, mesh2)
+            step_fn = tp_mod.make_tp_train_step(
+                algo, tx, norm['mean'], norm['std'], mesh2,
+                collect_vis=collect_vis)
         put = lambda b: tp_mod.shard_batch_2d(  # noqa: E731
             {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
             mesh2)
+    elif n_dev > 1 and zero_on:
+        from ..parallel import zero as zero_mod
+        mesh = get_mesh()
+        state = zero_mod.shard_state(state, mesh)
+        step_fn = zero_mod.make_zero_train_step(
+            algo, tx, norm['mean'], norm['std'], mesh,
+            collect_vis=collect_vis)
+        put = lambda b: zero_mod.shard_batch(  # noqa: E731
+            {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
+            mesh)
     elif n_dev > 1:
         mesh = get_mesh()
         step_fn = make_sharded_train_step(algo, tx, norm['mean'],

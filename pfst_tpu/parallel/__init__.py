@@ -27,3 +27,10 @@ from . import ep  # noqa: E402
 from .ep import EXPERT_AXIS, get_expert_mesh, moe_apply  # noqa: E402
 
 __all__ += ['ep', 'EXPERT_AXIS', 'get_expert_mesh', 'moe_apply']
+
+from . import zero  # noqa: E402
+from .zero import (make_zero_train_step, opt_state_bytes,  # noqa: E402
+                   zero_specs)
+
+__all__ += ['zero', 'make_zero_train_step', 'opt_state_bytes',
+            'zero_specs']

@@ -50,6 +50,11 @@ def parse_args(args=None):
                         ' block weights over this many devices (the'
                         ' rest form the data axis); equivalent to'
                         ' --cfg-options parallel.tp=N')
+    parser.add_argument('--zero', action='store_true', default=None,
+                        help='ZeRO-1: partition optimizer state over'
+                        ' the data axis instead of replicating it;'
+                        ' equivalent to --cfg-options'
+                        ' parallel.zero=True')
     return parser.parse_args(args)
 
 
@@ -65,6 +70,8 @@ def main(args=None):
         cfg.merge_from_dict(args.cfg_options)
     if args.tp:
         cfg.merge_from_dict({'parallel.tp': args.tp})
+    if args.zero:
+        cfg.merge_from_dict({'parallel.zero': True})
 
     coordinator = args.coordinator or os.environ.get(
         'COORDINATOR_ADDRESS')
