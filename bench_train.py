@@ -245,6 +245,19 @@ def run_mode(mode, batch_size, dtype, size, steps, reps, warmup):
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats}
         run = lambda img, i: piece(variables, img)  # noqa: E731
+    elif mode == 'fwd-eval':
+        # eval-mode forward (BN uses running stats, fused into the
+        # conv epilogue; no dropout) — the delta vs 'fwd' is the price
+        # of train-mode BN statistics + dropout
+        @jax.jit
+        def piece(variables, img):
+            out = model.apply(variables, img, train=False,
+                              method=model.encode_decode)
+            return out[0].mean()
+
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        run = lambda img, i: piece(variables, img)  # noqa: E731
     elif mode == 'supervised':
         step = algo.make_train_step(
             tx, mean=[123.675, 116.28, 103.53],
@@ -323,9 +336,11 @@ def run_mode(mode, batch_size, dtype, size, steps, reps, warmup):
         t0 = time.perf_counter()
         outs = [run(im, 10 + rep * steps + i)
                 for i, im in enumerate(imgs)]
+        # the single device executes programs in order: materializing
+        # the LAST output proves all steps finished.  Do NOT loop
+        # np.asarray over every output — each one is a tunnel
+        # round-trip (~tens of ms) that inflates the per-step time.
         _ = np.asarray(outs[-1])
-        if mode in ('fwd', 'grad-backbone', 'grad-head'):
-            _ = [np.asarray(o) for o in outs]
         dt = (time.perf_counter() - t0) / steps
         print(f'# {mode} rep {rep}: {dt:.3f} s/iter')
         best = dt if best is None else min(best, dt)
@@ -361,21 +376,27 @@ def run_breakdown(batch_size, dtype, size, steps, args):
     out['ema'] = (time.perf_counter() - t0) / steps
     state = s
 
-    # teacher: fresh target images
-    imgs = [rs.randn(batch_size, size, size, 3).astype(np.float32)
-            for _ in range(steps)]
+    # teacher: fresh target images, DEVICE-RESIDENT (numpy args crawl
+    # through the tunnel at ~40-60 MB/s and would dominate the timing
+    # — see PERF.md "transfer paths")
+    imgs = put_batches(
+        [rs.randn(batch_size, size, size, 3).astype(np.float32)
+         for _ in range(steps)])
     t0 = time.perf_counter()
     touts = [progs['teacher'](state.ema_params, state.ema_batch_stats,
                               im) for im in imgs]
-    _ = [np.asarray(t[0]).ravel()[:1] for t in touts]
+    # materialize ONE on-device 1-element slice of the last output —
+    # np.asarray of the full logits would time a 25 MB tunnel transfer
+    _ = np.asarray(touts[-1][0].ravel()[:1])
     out['teacher'] = (time.perf_counter() - t0) / steps
 
-    # mix: fresh batches, reuse one teacher_out
-    batches = [make_batch(rs, batch_size, size) for _ in range(steps)]
+    # mix: fresh device-resident batches, reuse per-step teacher_out
+    batches = put_batches(
+        [make_batch(rs, batch_size, size) for _ in range(steps)])
     t0 = time.perf_counter()
     premixes = [progs['mix'](bb, jax.random.fold_in(rng, i), touts[i])
                 for i, bb in enumerate(batches)]
-    _ = [np.asarray(p['mixed_img']).ravel()[:1] for p in premixes]
+    _ = np.asarray(premixes[-1]['mixed_img'].ravel()[:1])
     out['mix'] = (time.perf_counter() - t0) / steps
 
     # opt: the big student 2xfwd+bwd + optimizer program
@@ -408,8 +429,8 @@ def main():
     ap.add_argument('--warmup', type=int, default=2)
     ap.add_argument('--breakdown', action='store_true')
     ap.add_argument('--mode', default=None,
-                    choices=['fwd', 'supervised', 'grad-backbone',
-                             'grad-head'],
+                    choices=['fwd', 'fwd-eval', 'supervised',
+                             'grad-backbone', 'grad-head'],
                     help='time an isolated piece instead of the full '
                          'UDA step')
     ap.add_argument('--no-aux', action='store_true',

@@ -326,9 +326,14 @@ def train_segmentor(cfg,
     # remaining n_dev // tp devices form the data axis
     par_cfg = cfg.get('parallel') or {}
     tp_size = int(par_cfg.get('tp', 1))
-    # ZeRO-1 optimizer-state sharding (parallel/zero.py): partitions
-    # the AdamW moments over the data axis instead of replicating them
-    zero_on = bool(par_cfg.get('zero', False))
+    # ZeRO optimizer-state sharding (parallel/zero.py): partitions the
+    # AdamW moments over the data axis instead of replicating them.
+    # cfg.parallel.zero: True/1 = ZeRO-1 (moments only), 3 = ZeRO-3 /
+    # FSDP (also partitions the param + EMA-teacher trees)
+    zero_level = int(par_cfg.get('zero', 0) or 0)
+    zero_on = zero_level > 0
+    if zero_on:
+        zero_level = 3 if zero_level >= 3 else 1
     if tp_size > 1:
         assert n_dev % tp_size == 0, \
             f'{n_dev} devices not divisible by parallel.tp={tp_size}'
@@ -428,11 +433,12 @@ def train_segmentor(cfg,
         if zero_on:
             from ..parallel import zero as zero_mod
             state = zero_mod.shard_state(
-                state, mesh2, tp_rules=tp_mod.DEFAULT_TP_RULES)
+                state, mesh2, tp_rules=tp_mod.DEFAULT_TP_RULES,
+                level=zero_level)
             step_fn = zero_mod.make_zero_train_step(
                 algo, tx, norm['mean'], norm['std'], mesh2,
                 tp_rules=tp_mod.DEFAULT_TP_RULES,
-                collect_vis=collect_vis)
+                collect_vis=collect_vis, level=zero_level)
         else:
             state = tp_mod.shard_state(state, mesh2)
             step_fn = tp_mod.make_tp_train_step(
@@ -444,10 +450,10 @@ def train_segmentor(cfg,
     elif n_dev > 1 and zero_on:
         from ..parallel import zero as zero_mod
         mesh = get_mesh()
-        state = zero_mod.shard_state(state, mesh)
+        state = zero_mod.shard_state(state, mesh, level=zero_level)
         step_fn = zero_mod.make_zero_train_step(
             algo, tx, norm['mean'], norm['std'], mesh,
-            collect_vis=collect_vis)
+            collect_vis=collect_vis, level=zero_level)
         put = lambda b: zero_mod.shard_batch(  # noqa: E731
             {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
             mesh)

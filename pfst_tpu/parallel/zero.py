@@ -30,6 +30,12 @@ single-device step.
 Composes with TP: pass a 2-D ``(data, model)`` mesh and the TP rules;
 opt leaves already TP-sharded keep their TP layout and gain the
 ``data`` axis on a different dimension where possible.
+
+``level=3`` extends the partitioning to the params and the EMA
+teacher/fdist trees (ZeRO-3 / FSDP): weights live sharded, XLA
+all-gathers each one just-in-time for the op that consumes it and
+reduce-scatters its gradient — per-device persistent memory for
+params+teacher+moments drops n_data-fold.
 """
 from __future__ import annotations
 
@@ -43,7 +49,7 @@ from .mesh import DATA_AXIS
 from .tp import _path_str, _spec_for
 
 __all__ = ['zero_specs', 'shard_state', 'make_zero_train_step',
-           'shard_batch', 'opt_state_bytes']
+           'shard_batch', 'opt_state_bytes', 'tree_bytes']
 
 
 def _zero_spec_for(leaf, n_data: int, base: P) -> P:
@@ -63,10 +69,24 @@ def _zero_spec_for(leaf, n_data: int, base: P) -> P:
     return P(*dims)
 
 
-def zero_specs(state, mesh: Mesh, tp_rules=None):
-    """PartitionSpec pytree for a train state: optimizer-state leaves
-    partitioned over ``data`` (+ any TP layout), everything else
-    replicated (or TP-sharded when ``tp_rules`` is given)."""
+def zero_specs(state, mesh: Mesh, tp_rules=None, level: int = 1):
+    """PartitionSpec pytree for a train state.
+
+    ``level=1`` (ZeRO-1): optimizer-state leaves partitioned over
+    ``data`` (+ any TP layout), everything else replicated (or
+    TP-sharded when ``tp_rules`` is given).
+
+    ``level=3`` (ZeRO-3 / FSDP): additionally partitions the student
+    params, the EMA teacher params, and the frozen fdist reference —
+    every persistent model-sized tree.  XLA GSPMD all-gathers each
+    weight just before its op consumes it and discards the gathered
+    copy after, so per-device *persistent* memory for params drops
+    n_data-fold at the cost of per-step all-gather traffic on ICI —
+    the FSDP schedule, derived entirely from the layout.  (There is no
+    ``level=2``: gradients are not persistent state under jit; XLA
+    already reduce-scatters them into the sharded update.)
+    """
+    assert level in (1, 3), f'zero level must be 1 or 3, got {level}'
     n_data = mesh.shape[DATA_AXIS]
 
     def base_spec(path, leaf):
@@ -74,12 +94,20 @@ def zero_specs(state, mesh: Mesh, tp_rules=None):
             return P()
         return _spec_for(_path_str(path), leaf, tp_rules)
 
+    def zero_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: _zero_spec_for(leaf, n_data,
+                                              base_spec(path, leaf)),
+            tree)
+
     base_specs = jax.tree_util.tree_map_with_path(base_spec, state)
-    opt_specs = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _zero_spec_for(leaf, n_data,
-                                          base_spec(path, leaf)),
-        state.opt_state)
-    return base_specs.replace(opt_state=opt_specs)
+    updates = dict(opt_state=zero_tree(state.opt_state))
+    if level >= 3:
+        for field in ('params', 'ema_params', 'imnet_params'):
+            tree = getattr(state, field, None)
+            if tree:
+                updates[field] = zero_tree(tree)
+    return base_specs.replace(**updates)
 
 
 def _shardings(specs, mesh: Mesh):
@@ -87,13 +115,15 @@ def _shardings(specs, mesh: Mesh):
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_state(state, mesh: Mesh, tp_rules=None):
-    """Place a train state with ZeRO-partitioned optimizer leaves.
+def shard_state(state, mesh: Mesh, tp_rules=None, level: int = 1):
+    """Place a train state with ZeRO-partitioned optimizer leaves
+    (level 3: plus param/teacher trees).
 
     jit-identity with ``out_shardings`` (not ``device_put``) so every
     output owns fresh buffers — the train step donates its state, and
     aliased device-0 shards would be deleted under the caller."""
-    shardings = _shardings(zero_specs(state, mesh, tp_rules), mesh)
+    shardings = _shardings(zero_specs(state, mesh, tp_rules, level),
+                           mesh)
     return jax.jit(lambda t: t, out_shardings=shardings)(state)
 
 
@@ -111,14 +141,16 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def make_zero_train_step(algo, tx, mean, std, mesh: Mesh,
-                         tp_rules=None, collect_vis: bool = False):
-    """Data-parallel train step with ZeRO-1 optimizer-state
-    partitioning (optionally dp×tp when ``tp_rules``/2-D mesh given).
+                         tp_rules=None, collect_vis: bool = False,
+                         level: int = 1):
+    """Data-parallel train step with ZeRO optimizer-state partitioning
+    (optionally dp×tp when ``tp_rules``/2-D mesh given; ``level=3``
+    also partitions the param/teacher trees, FSDP-style).
 
     The optimizer update runs on each leaf's *shard*: GSPMD turns the
     gradient all-reduce into reduce-scatter along the sharded
     dimension, applies AdamW shard-locally, and all-gathers the new
-    params — the ZeRO-1 schedule, derived entirely from the layout."""
+    params — the ZeRO schedule, derived entirely from the layout."""
     inner = algo.make_train_step(tx, mean, std,
                                  collect_vis=collect_vis,
                                  donate=False, axis_name=None,
@@ -126,7 +158,7 @@ def make_zero_train_step(algo, tx, mean, std, mesh: Mesh,
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
 
     def step(state, batch, rng):
-        specs = zero_specs(state, mesh, tp_rules)
+        specs = zero_specs(state, mesh, tp_rules, level)
         constrain = lambda t: jax.tree.map(  # noqa: E731
             lambda x, s: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, s)), t, specs)
@@ -140,12 +172,12 @@ def make_zero_train_step(algo, tx, mean, std, mesh: Mesh,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def opt_state_bytes(state) -> Tuple[int, int]:
-    """(bytes the optimizer state actually occupies across the local
-    devices, bytes full replication would occupy) — the ZeRO
-    memory-saving audit used by tests and the dryrun."""
+def tree_bytes(tree) -> Tuple[int, int]:
+    """(bytes the tree actually occupies across the local devices,
+    bytes full replication would occupy) — the ZeRO memory-saving
+    audit used by tests and the dryrun."""
     stored = replicated = 0
-    for x in jax.tree.leaves(state.opt_state):
+    for x in jax.tree.leaves(tree):
         if hasattr(x, 'addressable_shards'):
             stored += sum(s.data.nbytes for s in x.addressable_shards)
             replicated += x.nbytes * len(x.sharding.device_set)
@@ -153,3 +185,9 @@ def opt_state_bytes(state) -> Tuple[int, int]:
             stored += getattr(x, 'nbytes', 0)
             replicated += getattr(x, 'nbytes', 0)
     return stored, replicated
+
+
+def opt_state_bytes(state) -> Tuple[int, int]:
+    """ZeRO-1 audit: physical vs replicated bytes of the optimizer
+    state alone."""
+    return tree_bytes(state.opt_state)

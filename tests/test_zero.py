@@ -204,6 +204,37 @@ def test_train_segmentor_end_to_end_zero(tmp_path):
                for x in jax.tree.leaves(state.params))
 
 
+def test_zero3_params_partitioned_and_numerics_match(setup):
+    """Level 3 (FSDP): params + optimizer moments both physically
+    partitioned; the step still computes the single-device numbers."""
+    algo, tx, state = setup
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    ref_step = algo.make_train_step(tx, MEAN, STD, donate=False)
+    ref_state, ref_log, _ = ref_step(state, batch, rng)
+
+    mesh = get_mesh()
+    z_state = zero.shard_state(state, mesh, level=3)
+    p_stored, p_repl = zero.tree_bytes(z_state.params)
+    assert p_stored < 0.5 * p_repl, (p_stored, p_repl)
+
+    step = zero.make_zero_train_step(algo, tx, MEAN, STD, mesh,
+                                     level=3)
+    new_state, log, _ = step(z_state, zero.shard_batch(batch, mesh),
+                             rng)
+    np.testing.assert_allclose(float(log['loss']),
+                               float(ref_log['loss']), rtol=1e-5)
+    for r, t in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(t),
+                                   rtol=2e-4, atol=2e-5)
+    # params stayed partitioned through the step
+    p_stored, p_repl = zero.tree_bytes(new_state.params)
+    assert p_stored < 0.5 * p_repl
+    o_stored, o_repl = zero.opt_state_bytes(new_state)
+    assert o_stored < 0.5 * o_repl
+
+
 def test_uda_pfgst_step_under_zero_matches_single_device():
     """Full PFGST UDA step under ZeRO-1: same numerics as the
     single-device step, optimizer state partitioned."""
@@ -249,3 +280,14 @@ def test_uda_pfgst_step_under_zero_matches_single_device():
                                float(ref_log['loss']), rtol=1e-4)
     stored, replicated = zero.opt_state_bytes(new_state)
     assert stored < 0.5 * replicated
+
+    # level 3: student AND EMA-teacher trees partitioned, same numbers
+    z3 = zero.shard_state(state, mesh, level=3)
+    step3 = zero.make_zero_train_step(algo, tx, MEAN, STD, mesh,
+                                      level=3)
+    s3, log3, _ = step3(z3, zero.shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(log3['loss']),
+                               float(ref_log['loss']), rtol=1e-4)
+    for tree in (s3.params, s3.ema_params):
+        st, rep = zero.tree_bytes(tree)
+        assert st < 0.5 * rep, (st, rep)

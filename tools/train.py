@@ -50,11 +50,13 @@ def parse_args(args=None):
                         ' block weights over this many devices (the'
                         ' rest form the data axis); equivalent to'
                         ' --cfg-options parallel.tp=N')
-    parser.add_argument('--zero', action='store_true', default=None,
-                        help='ZeRO-1: partition optimizer state over'
-                        ' the data axis instead of replicating it;'
-                        ' equivalent to --cfg-options'
-                        ' parallel.zero=True')
+    parser.add_argument('--zero', nargs='?', const=1, default=None,
+                        type=int, choices=[1, 3],
+                        help='ZeRO optimizer-state sharding over the'
+                        ' data axis: --zero (or --zero 1) partitions'
+                        ' the AdamW moments; --zero 3 (FSDP) also'
+                        ' partitions the param/teacher trees;'
+                        ' equivalent to --cfg-options parallel.zero=N')
     return parser.parse_args(args)
 
 
@@ -71,7 +73,7 @@ def main(args=None):
     if args.tp:
         cfg.merge_from_dict({'parallel.tp': args.tp})
     if args.zero:
-        cfg.merge_from_dict({'parallel.zero': True})
+        cfg.merge_from_dict({'parallel.zero': args.zero})
 
     coordinator = args.coordinator or os.environ.get(
         'COORDINATOR_ADDRESS')
