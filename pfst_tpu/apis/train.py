@@ -317,6 +317,9 @@ def train_segmentor(cfg,
     set_random_seed(seed)
 
     apply_device_normalize(cfg)
+    if cfg.data.get('decode_cache_mb'):
+        from ..datasets.pipelines.loading import set_decode_cache_mb
+        set_decode_cache_mb(float(cfg.data['decode_cache_mb']))
     train_ds = build_dataset(cfg.data['train'])
     samples_per_gpu = cfg.data.get('samples_per_gpu', 2)
     workers_per_gpu = cfg.data.get('workers_per_gpu', 2)

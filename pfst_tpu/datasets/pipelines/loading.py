@@ -6,6 +6,7 @@ pseudo-label generator's h5 dumps (``loading.py:393-525``).
 """
 from __future__ import annotations
 
+import os
 import os.path as osp
 
 import cv2
@@ -14,8 +15,77 @@ import numpy as np
 from ..builder import PIPELINES
 
 
+class _DecodeCache:
+    """Process-wide LRU cache of decoded tiles.
+
+    PNG decode dominates the per-sample pipeline cost (~26 ms of a
+    ~55-75 ms sample on 1024^2 tiles — see PERF.md "data loading");
+    UDA training revisits every tile each epoch, so caching the
+    *decoded* uint8 array removes the whole decode on hits.  Arrays
+    are stored read-only: every downstream transform already produces
+    fresh arrays (resize/rot90/flip/astype all copy), and an
+    accidental in-place write raises instead of corrupting the cache.
+
+    The reference has no equivalent (its torch DataLoader re-decodes
+    every epoch, `/root/reference/rsiseg/datasets/pipelines/
+    loading.py:15`); this is framework headroom, not parity.
+    """
+
+    def __init__(self, budget_bytes: int):
+        import threading
+        from collections import OrderedDict
+        self._lock = threading.Lock()
+        self._items = OrderedDict()
+        self._bytes = 0
+        self.budget = budget_bytes
+        self.hits = self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            arr = self._items.get(key)
+            if arr is not None:
+                self._items.move_to_end(key)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return arr
+
+    def put(self, key, arr):
+        if arr.nbytes > self.budget:
+            return
+        arr.setflags(write=False)
+        with self._lock:
+            if key in self._items:
+                return
+            self._items[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.budget:
+                _, old = self._items.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_decode_cache = None
+
+
+def set_decode_cache_mb(mb: float) -> None:
+    """Enable (mb > 0) or disable (0) the decoded-tile LRU cache.
+    Config surface: ``cfg.data.decode_cache_mb``; env default:
+    ``PFST_DECODE_CACHE_MB``."""
+    global _decode_cache
+    _decode_cache = _DecodeCache(int(mb * 2 ** 20)) if mb > 0 else None
+
+
+if os.environ.get('PFST_DECODE_CACHE_MB'):
+    set_decode_cache_mb(float(os.environ['PFST_DECODE_CACHE_MB']))
+
+
 def imread(path: str, color: bool = True, unchanged: bool = False):
     """cv2 read keeping mmcv's BGR convention for color images."""
+    cache, key = _decode_cache, (path, color, unchanged)
+    if cache is not None:
+        img = cache.get(key)
+        if img is not None:
+            return img
     if unchanged:
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     elif color:
@@ -24,6 +94,8 @@ def imread(path: str, color: bool = True, unchanged: bool = False):
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(f'failed to read image: {path}')
+    if cache is not None:
+        cache.put(key, img)
     return img
 
 

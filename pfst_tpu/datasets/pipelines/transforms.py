@@ -151,8 +151,18 @@ class RandomCrop:
         if self.cat_max_ratio < 1.0 and 'gt_semantic_seg' in results:
             for _ in range(10):
                 seg = self.crop(results['gt_semantic_seg'], crop_bbox)
-                labels, cnt = np.unique(seg, return_counts=True)
-                cnt = cnt[labels != self.ignore_index]
+                if seg.dtype == np.uint8:
+                    # O(n) class histogram — same decision as
+                    # np.unique but ~6x cheaper on 512^2 crops (the
+                    # target pipeline runs all 10 retries when the
+                    # label is all-ignore)
+                    cnt = np.bincount(seg.reshape(-1), minlength=256)
+                    if 0 <= self.ignore_index < 256:
+                        cnt[self.ignore_index] = 0
+                    cnt = cnt[cnt > 0]
+                else:
+                    labels, cnt = np.unique(seg, return_counts=True)
+                    cnt = cnt[labels != self.ignore_index]
                 if len(cnt) > 1 and \
                         cnt.max() / cnt.sum() < self.cat_max_ratio:
                     break
