@@ -16,6 +16,8 @@ imagery (SeasonNet).
 """
 from __future__ import annotations
 
+import os
+
 import cv2
 import numpy as np
 
@@ -550,7 +552,17 @@ class Uint82Float:
 
 
 class _Photometric:
-    """shared photometric ops on BGR uint8 (``transforms.py:943``)."""
+    """shared photometric ops on BGR uint8 (``transforms.py:943``).
+
+    Each affine step (brightness beta, contrast alpha, saturation
+    alpha) is ``clip(float32(x)*a + b, 0, 255).astype(uint8)`` — a
+    pointwise uint8->uint8 map, so it is applied as a 256-entry LUT.
+    Consecutive BGR-space LUTs compose into ONE table lookup
+    (``lut2[lut1]`` reproduces both quantization steps bit-exactly),
+    cutting the former 2-4 full-image float32 passes to at most one
+    uint8 gather per color-space segment.  RNG draw order is
+    unchanged, so streams match the float implementation exactly.
+    """
 
     def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
                  saturation_range=(0.5, 1.5), hue_delta=18):
@@ -559,41 +571,86 @@ class _Photometric:
         self.saturation_lower, self.saturation_upper = saturation_range
         self.hue_delta = hue_delta
 
+    _IOTA = np.arange(256, dtype=np.uint8)
+
     @staticmethod
     def convert(img, alpha=1, beta=0):
-        img = img.astype(np.float32) * alpha + beta
-        return np.clip(img, 0, 255).astype(np.uint8)
+        lut = np.clip(
+            np.arange(256, dtype=np.float32) * alpha + beta,
+            0, 255).astype(np.uint8)
+        return _apply_lut(img, lut)
+
+    @staticmethod
+    def _affine_lut(lut, alpha=1.0, beta=0.0):
+        """Compose ``clip(x*alpha+beta)`` after an existing LUT."""
+        step = np.clip(np.arange(256, dtype=np.float32) * alpha + beta,
+                       0, 255).astype(np.uint8)
+        return step[lut]
 
     def _apply(self, img):
+        lut = self._IOTA
         if np.random.randint(2):
-            img = self.convert(
-                img, beta=np.random.uniform(-self.brightness_delta,
+            lut = self._affine_lut(
+                lut, beta=np.random.uniform(-self.brightness_delta,
                                             self.brightness_delta))
         mode = np.random.randint(2)
         if mode == 1:
             if np.random.randint(2):
-                img = self.convert(
-                    img, alpha=np.random.uniform(self.contrast_lower,
+                lut = self._affine_lut(
+                    lut, alpha=np.random.uniform(self.contrast_lower,
                                                  self.contrast_upper))
+        if lut is not self._IOTA:
+            img = _apply_lut(img, lut)
         if np.random.randint(2):
-            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
-            hsv[:, :, 1] = self.convert(
-                hsv[:, :, 1],
+            sat_lut = self._affine_lut(
+                self._IOTA,
                 alpha=np.random.uniform(self.saturation_lower,
                                         self.saturation_upper))
-            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+            img = _hsv_modify(img, sat_lut=sat_lut)
         if np.random.randint(2):
-            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
-            hsv[:, :, 0] = (
-                hsv[:, :, 0].astype(int) +
-                np.random.randint(-self.hue_delta, self.hue_delta)) % 180
-            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+            delta = np.random.randint(-self.hue_delta, self.hue_delta)
+            hue_lut = ((np.arange(256) + delta) % 180).astype(np.uint8)
+            img = _hsv_modify(img, hue_lut=hue_lut)
         if mode == 0:
             if np.random.randint(2):
-                img = self.convert(
-                    img, alpha=np.random.uniform(self.contrast_lower,
-                                                 self.contrast_upper))
+                lut = self._affine_lut(
+                    self._IOTA,
+                    alpha=np.random.uniform(self.contrast_lower,
+                                            self.contrast_upper))
+                img = _apply_lut(img, lut)
         return img
+
+
+def _apply_lut(img, lut):
+    """256-entry LUT over a uint8 image; cv2.LUT is ~7x faster than a
+    numpy fancy-index gather here (SIMD)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    return cv2.LUT(img, lut)
+
+
+def _hsv_modify(img, sat_lut=None, hue_lut=None):
+    """BGR -> HSV -> per-channel LUT -> BGR, one round-trip.
+
+    Default path: cv2 conversions + ONE 3-channel ``cv2.LUT`` pass
+    (both SIMD) — measured fastest on this host (~1.5 ms vs 2.5 ms
+    for per-channel numpy gathers and 4.3 ms for the scalar native
+    kernel at 512^2; see PERF.md "host augmentation").  The fused C++
+    kernel (``pfst_tpu/native/hostaug``, opt-in via
+    ``PFST_NATIVE_HSV=1``) replicates cv2's uint8 HSV arithmetic
+    bit-exactly for widths that are multiples of 32 — all shipped
+    crop sizes; ``tests/test_native_hostaug.py`` documents cv2's own
+    SIMD-vs-scalar-tail inconsistency on other widths.
+    """
+    if os.environ.get('PFST_NATIVE_HSV') == '1':
+        from ...native import hostaug
+        if hostaug.available():
+            return hostaug.hsv_modify(img, sat_lut, hue_lut)
+    hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    lut3 = np.empty((1, 256, 3), np.uint8)
+    lut3[0, :, 0] = hue_lut if hue_lut is not None else _Photometric._IOTA
+    lut3[0, :, 1] = sat_lut if sat_lut is not None else _Photometric._IOTA
+    lut3[0, :, 2] = _Photometric._IOTA
+    return cv2.cvtColor(cv2.LUT(hsv, lut3), cv2.COLOR_HSV2BGR)
 
 
 @PIPELINES.register_module()
