@@ -49,7 +49,7 @@ def make_batch(rs, b, size):
 
 
 def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
-          split=True, fused=False):
+          split=True, fused=False, with_cp=False):
     import jax
     import optax
 
@@ -62,6 +62,9 @@ def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
     model_cfg = dict(cfg['model'])
     if dtype == 'bf16':
         model_cfg['dtype'] = 'bfloat16'
+    if with_cp:                   # per-block remat: fits batch>=16
+        model_cfg['backbone'] = dict(model_cfg['backbone'],
+                                     with_cp=True)
     if no_aux:
         uda['aux_losses'] = []
     if no_strongaug:
@@ -156,7 +159,8 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
     algo, state, step = build(batch_size, size, dtype,
                               no_aux=args.no_aux,
                               no_strongaug=args.no_strongaug,
-                              fused=args.fused)
+                              fused=args.fused,
+                              with_cp=getattr(args, 'with_cp', False))
     rs = np.random.RandomState(0)
     rng = jax.random.PRNGKey(42)
     t0 = time.perf_counter()
@@ -439,6 +443,9 @@ def main():
                     help='ablate jitter/blur')
     ap.add_argument('--fused', action='store_true',
                     help='single fused program instead of split')
+    ap.add_argument('--with-cp', dest='with_cp', action='store_true',
+                    help='per-block remat in the backbone (fits '
+                         'batch >= 16 at 512^2)')
     ap.add_argument('--device-inputs', action='store_true',
                     help='pre-transfer batches to device before '
                          'timing (isolates tunnel transfer cost)')
