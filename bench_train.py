@@ -139,11 +139,18 @@ def timed_chain(step, state, batches, rngs, device_put=True):
 
     t0 = time.perf_counter()
     log_vars = None
-    for b, r in zip(batches, rngs):
+    nxt = None
+    for i, (b, r) in enumerate(zip(batches, rngs)):
         if device_put and isinstance(
                 next(iter(b.values())), np.ndarray):
-            b = jax.device_put(b)
+            # double-buffer like apis/train.py: batch i was already
+            # put while step i-1 ran; put batch i+1 right after
+            # dispatching step i so the copy overlaps compute
+            b = jax.device_put(b) if nxt is None else nxt
         state, log_vars, _ = step(state, b, r)
+        if device_put and i + 1 < len(batches) and isinstance(
+                next(iter(batches[i + 1].values())), np.ndarray):
+            nxt = jax.device_put(batches[i + 1])
     loss = np.asarray(log_vars['loss'])
     leaf = np.asarray(
         jax.tree_util.tree_leaves(state.params)[0].ravel()[:1])
