@@ -127,17 +127,27 @@ def put_batches(batches):
     return out
 
 
-def timed_chain(step, state, batches, rngs, device_put=True):
+def timed_chain(step, state, batches, rngs, device_put=True,
+                max_inflight=None):
     """Enqueue len(batches) steps chained through the donated state,
     block once, return (wall_seconds, final_state).
 
     ``device_put`` mirrors the train loop's transfer mode (explicit
     device_put, ~430 MB/s on this toolchain vs ~40-60 MB/s for numpy
     execute-arguments — see PERF.md); the put is timed (it happens
-    inside the loop, like training)."""
+    inside the loop, like training).
+
+    ``max_inflight`` bounds the async dispatch queue: every queued
+    step pins its input batch in HBM, so an unbounded chain holds
+    len(batches) x batch_bytes of inputs that the real train loop
+    (which stays <= 2 batches ahead) never does — at batch 16 that is
+    ~1.8 GB and OOMs before the step itself would.  Blocking on the
+    scalar loss of step i - max_inflight costs one tiny tunnel
+    round-trip against a multi-second step."""
     import jax
 
     t0 = time.perf_counter()
+    pending = []
     log_vars = None
     nxt = None
     for i, (b, r) in enumerate(zip(batches, rngs)):
@@ -151,6 +161,10 @@ def timed_chain(step, state, batches, rngs, device_put=True):
         if device_put and i + 1 < len(batches) and isinstance(
                 next(iter(batches[i + 1].values())), np.ndarray):
             nxt = jax.device_put(batches[i + 1])
+        if max_inflight:
+            pending.append(log_vars['loss'])
+            if len(pending) > max_inflight:
+                _ = np.asarray(pending.pop(0))
     loss = np.asarray(log_vars['loss'])
     leaf = np.asarray(
         jax.tree_util.tree_leaves(state.params)[0].ravel()[:1])
@@ -186,7 +200,8 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
             batches = put_batches(batches)
         rngs = [jax.random.fold_in(rng, rep * steps + i)
                 for i in range(steps)]
-        dt, state = timed_chain(step, state, batches, rngs)
+        dt, state = timed_chain(step, state, batches, rngs,
+                                max_inflight=args.max_inflight)
         per_iter = dt / steps
         print(f'# rep {rep}: {per_iter:.3f} s/iter '
               f'({batch_size / per_iter:.1f} img/s)')
@@ -453,6 +468,10 @@ def main():
     ap.add_argument('--with-cp', dest='with_cp', action='store_true',
                     help='per-block remat in the backbone (fits '
                          'batch >= 16 at 512^2)')
+    ap.add_argument('--max-inflight', type=int, default=None,
+                    help='bound the async dispatch queue to N steps '
+                         '(each queued step pins its input batch in '
+                         'HBM; use ~3 for batch >= 16 at 512^2)')
     ap.add_argument('--device-inputs', action='store_true',
                     help='pre-transfer batches to device before '
                          'timing (isolates tunnel transfer cost)')
