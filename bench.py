@@ -121,9 +121,18 @@ def bench_train_step():
             out[label] = round(best, 4)
         out['train_img_per_sec'] = round(
             batch_size / out['train_s_per_iter'], 2)
+        tflop = bt.program_flops(step, state,
+                                 bt.make_batch(rs, batch_size, SIZE),
+                                 rng)
+        if np.isfinite(tflop):
+            achieved = tflop / out['train_s_per_iter'] / 1e12
+            out['train_achieved_tflops'] = round(achieved, 2)
+            out['train_mfu_pct_v5e_bf16'] = round(
+                100 * achieved / V5E_BF16_PEAK_TFLOPS, 1)
         out['train_note'] = (
-            'full PFGST UDA iteration (EMA+teacher+ClassMix+2x '
-            'fwd+bwd+PFGST losses+AdamW), 512^2 batch 2 bf16; '
+            'full PFGST UDA iteration (EMA+teacher+ClassMix+merged '
+            'source/mixed student fwd+bwd+PFGST losses+AdamW), '
+            '512^2 batch 2 bf16; '
             '_with_transfers includes host->device batch transfer')
         return out
     except Exception as e:  # the headline metric must still print

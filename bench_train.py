@@ -49,7 +49,7 @@ def make_batch(rs, b, size):
 
 
 def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
-          split=True, fused=False, with_cp=False):
+          split=True, fused=False, with_cp=False, no_merge=False):
     import jax
     import optax
 
@@ -70,6 +70,8 @@ def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
     if no_strongaug:
         uda['blur'] = False
         uda['color_jitter_probability'] = 0.0
+    if no_merge:                  # A/B: sequential two-pass student
+        uda['merge_student_passes'] = False
     algo = build_train_model(dict(uda=uda, model=model_cfg,
                                   runner=dict(max_iters=40000)))
     tx = optax.adamw(6e-5, b1=0.9, b2=0.999, weight_decay=0.01)
@@ -181,7 +183,9 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
                               no_aux=args.no_aux,
                               no_strongaug=args.no_strongaug,
                               fused=args.fused,
-                              with_cp=getattr(args, 'with_cp', False))
+                              with_cp=getattr(args, 'with_cp', False),
+                              no_merge=getattr(args, 'no_merge',
+                                               False))
     rs = np.random.RandomState(0)
     rng = jax.random.PRNGKey(42)
     t0 = time.perf_counter()
@@ -465,6 +469,11 @@ def main():
                     help='ablate jitter/blur')
     ap.add_argument('--fused', action='store_true',
                     help='single fused program instead of split')
+    ap.add_argument('--no-merge', dest='no_merge',
+                    action='store_true',
+                    help='sequential source/mixed student passes '
+                         'instead of the merged vmapped pass (A/B '
+                         'for the per-op-overhead optimization)')
     ap.add_argument('--with-cp', dest='with_cp', action='store_true',
                     help='per-block remat in the backbone (fits '
                          'batch >= 16 at 512^2)')

@@ -69,6 +69,12 @@ class PFGST(UDADecorator):
         self.apply_no_mix = cfg.get('apply_no_mix', False)
         self.print_grad_magnitude = cfg.get('print_grad_magnitude',
                                             False)
+        # merge the source and mixed student passes into ONE vmapped
+        # fwd+bwd (see forward_train): per-op granularity doubles —
+        # the measured bottleneck at the shipped batch sizes is per-op
+        # fixed cost, not FLOPs (PERF.md "per-op roofline dissection")
+        self.merge_student_passes = cfg.get('merge_student_passes',
+                                            True)
         assert self.mix == 'class'
         aux_losses = cfg.get('aux_losses', None)
         if aux_losses is not None and not isinstance(aux_losses, (list,
@@ -91,6 +97,32 @@ class PFGST(UDADecorator):
     # FMDA/PGSTTRG-style: train on the strongly-augmented target view
     # directly instead of ClassMix (``fmda.py:309-325``)
     target_self_training = False
+
+    def _bn_flax_momentum(self):
+        """Uniform flax-convention BN momentum (1 - torch momentum) of
+        the model cfg, or None when BN layers disagree — the merged
+        student pass then falls back to the sequential path, because
+        its exact running-stat composition needs one scalar momentum.
+        """
+        moms = set()
+
+        def scan(d):
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    if k == 'norm_cfg' and isinstance(v, dict):
+                        if v.get('type', 'BN') in ('BN', 'BN2d',
+                                                   'SyncBN'):
+                            moms.add(1.0 - v.get('momentum', 0.1))
+                    else:
+                        scan(v)
+            elif isinstance(d, (list, tuple)):
+                for v in d:
+                    scan(v)
+
+        scan(self.cfg.get('model', {}))
+        if not moms:
+            moms.add(0.9)  # Norm default: BN, torch momentum 0.1
+        return moms.pop() if len(moms) == 1 else None
 
     def feat_dist_loss(self, params, imnet_params, img, gt, src_feat):
         """DACS ImageNet feature-distance regulariser: L2 distance
@@ -274,20 +306,6 @@ class PFGST(UDADecorator):
         log_vars: Dict[str, jnp.ndarray] = {}
         vis_states: Dict[str, Any] = {}
 
-        # ---- source supervised pass (``pfgst.py:225-237``) -----------
-        (clean_losses, clean_states), updates = model.apply(
-            {'params': params, 'batch_stats': batch_stats}, img, gt,
-            train=True, mutable=['batch_stats'],
-            rngs={'dropout': k_drop_src},
-            method=model.forward_train)
-        bs1 = updates['batch_stats']
-        src_feats = clean_states['decoded_features'] \
-            if self.use_decoded_feats else clean_states['features']
-        src_logits = clean_states['seg_logits']
-        clean_loss, clean_log = parse_losses(clean_losses)
-        log_vars.update(clean_log)
-        total_loss = clean_loss
-
         if premix is None:
             premix = self.teacher_and_mix(ema_params, ema_batch_stats,
                                           batch, rng, mean, std)
@@ -299,6 +317,71 @@ class PFGST(UDADecorator):
         mixed_lbl = premix['mixed_lbl']
         mix_prefix = 'trg' if self.target_self_training else 'mix'
 
+        bn_m = self._bn_flax_momentum() if self.merge_student_passes \
+            else None
+        if bn_m is not None:
+            # ---- MERGED student passes (``pfgst.py:225-237,303-310``)
+            # One vmapped fwd+bwd over {source, mixed}: every conv runs
+            # at batch 2B, halving the op count whose per-op fixed cost
+            # dominates the step at small batches (PERF.md).  Exactness
+            # vs the sequential path:
+            #   * train-mode BN normalizes by BATCH statistics, which
+            #     vmap computes per-slice — identical to two passes;
+            #     the input running stats are written, never read;
+            #   * dropout keys are the same per-pass keys, so the masks
+            #     match the sequential calls bit-for-bit;
+            #   * source seg_weight=1 ≡ seg_weight=None (the weight
+            #     multiplies the per-pixel loss before the same mean);
+            #   * the sequential running-stat chain
+            #     bs2 = m*bs1 + (1-m)*mu2 recomposes exactly from the
+            #     two from-bs0 updates: bs2 = m*u1 + u2 - m*bs0.
+            # Equivalence is asserted by
+            # tests/test_uda_variants.py::test_merged_student_passes.
+            def one_pass(im, lb, w, k):
+                (losses, states), ups = model.apply(
+                    {'params': params, 'batch_stats': batch_stats},
+                    im, lb, w, train=True, mutable=['batch_stats'],
+                    rngs={'dropout': k}, method=model.forward_train)
+                return losses, states, ups['batch_stats']
+
+            losses2, states2, ubs2 = jax.vmap(one_pass)(
+                jnp.stack([img, mixed_img]),
+                jnp.stack([gt, mixed_lbl]),
+                jnp.stack([jnp.ones_like(pseudo_weight),
+                           pseudo_weight]),
+                jnp.stack([k_drop_src, k_drop_mix]))
+
+            def take(tree, i):
+                return jax.tree.map(lambda a: a[i], tree)
+
+            clean_losses, mix_losses = take(losses2, 0), take(losses2, 1)
+            clean_states, mix_states = take(states2, 0), take(states2, 1)
+            new_batch_stats = jax.tree.map(
+                lambda u, b0: bn_m * u[0] + u[1] - bn_m * b0,
+                ubs2, batch_stats)
+        else:
+            # ---- source supervised pass (``pfgst.py:225-237``) -------
+            (clean_losses, clean_states), updates = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, img, gt,
+                train=True, mutable=['batch_stats'],
+                rngs={'dropout': k_drop_src},
+                method=model.forward_train)
+            bs1 = updates['batch_stats']
+            # ---- mixed-pass training (``pfgst.py:303-310``) ----------
+            (mix_losses, mix_states), updates = model.apply(
+                {'params': params, 'batch_stats': bs1}, mixed_img,
+                mixed_lbl, pseudo_weight, train=True,
+                mutable=['batch_stats'], rngs={'dropout': k_drop_mix},
+                method=model.forward_train)
+            new_batch_stats = updates['batch_stats']
+
+        src_feats = clean_states['decoded_features'] \
+            if self.use_decoded_feats else clean_states['features']
+        src_logits = clean_states['seg_logits']
+        clean_loss, clean_log = parse_losses(clean_losses)
+        log_vars.update(clean_log)
+        total_loss = clean_loss
+
         # ---- optional DACS fdist regulariser (``dacs.py:204-211``) ----
         if self.enable_fdist and imnet_params:
             fd = self.feat_dist_loss(params, imnet_params, img, gt,
@@ -306,12 +389,6 @@ class PFGST(UDADecorator):
             log_vars['loss_imnet_feat_dist'] = fd
             total_loss = total_loss + fd
 
-        # ---- mixed-pass training (``pfgst.py:303-310``) ---------------
-        (mix_losses, mix_states), updates = model.apply(
-            {'params': params, 'batch_stats': bs1}, mixed_img, mixed_lbl,
-            pseudo_weight, train=True, mutable=['batch_stats'],
-            rngs={'dropout': k_drop_mix}, method=model.forward_train)
-        new_batch_stats = updates['batch_stats']
         mixed_feats = mix_states['features']
         mixed_logits = mix_states['seg_logits']
         mix_loss, mix_log = parse_losses(

@@ -144,6 +144,48 @@ def test_split_compile_matches_fused():
     assert max(jax.tree.leaves(d)) < 1e-6
 
 
+def test_merged_student_passes():
+    """The vmapped merged {source, mixed} student pass (default) must
+    equal the sequential two-pass path: identical losses/log_vars,
+    identical post-step params, and the exact sequential BN
+    running-stat composition bs2 = m*bs1 + (1-m)*mu2 (recovered as
+    m*u1 + u2 - m*bs0).  Dropout is active in both heads (ratio 0.1)
+    so the per-pass dropout-key parity is exercised too.
+
+    SGD (not AdamW) on purpose: post-step params are then
+    params - lr*grad, so the check reads the raw gradient delta
+    (measured 2e-7 — fp reassociation of the batched convs).  AdamW's
+    first step is ~lr*sign(grad), which amplifies any last-ulp
+    gradient difference near zero to a full lr-sized delta and says
+    nothing about equivalence."""
+    kw = dict(use_decoded_feats=True, thre_type='all', aux_losses=AUX)
+    cfg_m = _uda_cfg('PFGST', merge_student_passes=True, **kw)
+    cfg_s = _uda_cfg('PFGST', merge_student_passes=False, **kw)
+    tx = optax.sgd(1e-2)
+    b = _batch()
+    rng = jax.random.PRNGKey(7)
+    algo_m = build_train_model(cfg_m)
+    algo_s = build_train_model(cfg_s)
+    state_m = algo_m.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                                tx)
+    state_s = algo_s.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                                tx)
+    sm, lvm, _ = algo_m.make_train_step(tx, MEAN, STD, donate=False)(
+        state_m, b, rng)
+    ss, lvs, _ = algo_s.make_train_step(tx, MEAN, STD, donate=False)(
+        state_s, b, rng)
+    assert set(lvm) == set(lvs)
+    for k in lvm:
+        np.testing.assert_allclose(float(lvm[k]), float(lvs[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    dp = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                      sm.params, ss.params)
+    assert max(jax.tree.leaves(dp)) < 1e-5
+    db = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                      sm.batch_stats, ss.batch_stats)
+    assert max(jax.tree.leaves(db)) < 5e-5
+
+
 def test_bf16_mixed_precision_training_step():
     """model.dtype='bfloat16' trains with bf16 compute, fp32 params,
     fp32 losses — the TPU-native mixed-precision mode (the reference
