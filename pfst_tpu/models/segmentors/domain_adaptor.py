@@ -32,7 +32,7 @@ from flax import struct
 from ...utils.misc import add_prefix
 from ..builder import (SEGMENTORS, build_discriminator, build_loss,
                        build_segmentor)
-from ..uda.pfgst import parse_losses
+from ..uda.pfgst import parse_losses, uniform_bn_momentum
 
 
 @struct.dataclass
@@ -115,29 +115,69 @@ class DomainAdaptor(_DomainAdaptorBase):
             gt_trg = batch.get('dom2_gt_semantic_seg',
                                batch.get('target_gt_semantic_seg'))
 
+            bn_m = uniform_bn_momentum(self.cfg) \
+                if self.cfg.get('merge_student_passes', True) else None
+
             def loss_fn(params):
                 log_vars = {}
-                (l_src, st_src), upd = model.apply(
-                    {'params': params,
-                     'batch_stats': state.batch_stats}, img_src, gt_src,
-                    train=True, mutable=['batch_stats'],
-                    rngs={'dropout': rng},
-                    method=model.forward_train)
-                total, lv = parse_losses(add_prefix(l_src, 'src'))
-                log_vars.update(lv)
-                bs = upd['batch_stats']
                 st_trg = None
-                if gt_trg is not None:
-                    (l_trg, st_trg), upd = model.apply(
-                        {'params': params, 'batch_stats': bs}, img_trg,
-                        gt_trg.astype(jnp.int32), train=True,
-                        mutable=['batch_stats'],
-                        rngs={'dropout': jax.random.fold_in(rng, 1)},
-                        method=model.forward_train)
+                if gt_trg is not None and bn_m is not None:
+                    # Merged {src, trg} pass: one vmapped fwd at batch
+                    # 2B instead of two sequential applies — same
+                    # per-op-overhead amortization (and exactness
+                    # argument) as PFGST.forward_train's merged
+                    # student pass; running stats recompose as
+                    # m*u_src + u_trg - m*bs0.
+                    def one_pass(im, lb, k):
+                        (losses, states), ups = model.apply(
+                            {'params': params,
+                             'batch_stats': state.batch_stats}, im, lb,
+                            train=True, mutable=['batch_stats'],
+                            rngs={'dropout': k},
+                            method=model.forward_train)
+                        return losses, states, ups['batch_stats']
+
+                    losses2, states2, ubs2 = jax.vmap(one_pass)(
+                        jnp.stack([img_src, img_trg]),
+                        jnp.stack([gt_src, gt_trg.astype(jnp.int32)]),
+                        jnp.stack([rng, jax.random.fold_in(rng, 1)]))
+
+                    def take(tree, i):
+                        return jax.tree.map(lambda a: a[i], tree)
+
+                    l_src, l_trg = take(losses2, 0), take(losses2, 1)
+                    st_src, st_trg = take(states2, 0), take(states2, 1)
+                    total, lv = parse_losses(add_prefix(l_src, 'src'))
+                    log_vars.update(lv)
                     t_trg, lv = parse_losses(add_prefix(l_trg, 'trg'))
                     log_vars.update(lv)
                     total = total + t_trg * self.weight_trg
+                    bs = jax.tree.map(
+                        lambda u, b0: bn_m * u[0] + u[1] - bn_m * b0,
+                        ubs2, state.batch_stats)
+                else:
+                    (l_src, st_src), upd = model.apply(
+                        {'params': params,
+                         'batch_stats': state.batch_stats}, img_src,
+                        gt_src, train=True, mutable=['batch_stats'],
+                        rngs={'dropout': rng},
+                        method=model.forward_train)
+                    total, lv = parse_losses(add_prefix(l_src, 'src'))
+                    log_vars.update(lv)
                     bs = upd['batch_stats']
+                    if gt_trg is not None:
+                        (l_trg, st_trg), upd = model.apply(
+                            {'params': params, 'batch_stats': bs},
+                            img_trg, gt_trg.astype(jnp.int32),
+                            train=True, mutable=['batch_stats'],
+                            rngs={'dropout': jax.random.fold_in(rng,
+                                                                1)},
+                            method=model.forward_train)
+                        t_trg, lv = parse_losses(add_prefix(l_trg,
+                                                            'trg'))
+                        log_vars.update(lv)
+                        total = total + t_trg * self.weight_trg
+                        bs = upd['batch_stats']
                 if self.aux_losses and st_trg is not None:
                     # domain_adaptorv2.py: aux losses over the
                     # collected tensors, like the UDA layer's

@@ -44,6 +44,32 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
     return total, log_vars
 
 
+def uniform_bn_momentum(model_cfg) -> Optional[float]:
+    """Uniform flax-convention BN momentum (1 - torch momentum) found
+    anywhere in ``model_cfg``'s ``norm_cfg`` entries, or None when BN
+    layers disagree — merged multi-pass steps then fall back to the
+    sequential path, because their exact running-stat composition
+    needs one scalar momentum."""
+    moms = set()
+
+    def scan(d):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                if k == 'norm_cfg' and isinstance(v, dict):
+                    if v.get('type', 'BN') in ('BN', 'BN2d', 'SyncBN'):
+                        moms.add(1.0 - v.get('momentum', 0.1))
+                else:
+                    scan(v)
+        elif isinstance(d, (list, tuple)):
+            for v in d:
+                scan(v)
+
+    scan(model_cfg)
+    if not moms:
+        moms.add(0.9)  # Norm default: BN, torch momentum 0.1
+    return moms.pop() if len(moms) == 1 else None
+
+
 @UDA.register_module()
 class PFGST(UDADecorator):
     """The PFST paper's algorithm (cfg surface mirrors ``pfgst.py:56``)."""
@@ -99,30 +125,7 @@ class PFGST(UDADecorator):
     target_self_training = False
 
     def _bn_flax_momentum(self):
-        """Uniform flax-convention BN momentum (1 - torch momentum) of
-        the model cfg, or None when BN layers disagree — the merged
-        student pass then falls back to the sequential path, because
-        its exact running-stat composition needs one scalar momentum.
-        """
-        moms = set()
-
-        def scan(d):
-            if isinstance(d, dict):
-                for k, v in d.items():
-                    if k == 'norm_cfg' and isinstance(v, dict):
-                        if v.get('type', 'BN') in ('BN', 'BN2d',
-                                                   'SyncBN'):
-                            moms.add(1.0 - v.get('momentum', 0.1))
-                    else:
-                        scan(v)
-            elif isinstance(d, (list, tuple)):
-                for v in d:
-                    scan(v)
-
-        scan(self.cfg.get('model', {}))
-        if not moms:
-            moms.add(0.9)  # Norm default: BN, torch momentum 0.1
-        return moms.pop() if len(moms) == 1 else None
+        return uniform_bn_momentum(self.cfg.get('model', {}))
 
     def feat_dist_loss(self, params, imnet_params, img, gt, src_feat):
         """DACS ImageNet feature-distance regulariser: L2 distance

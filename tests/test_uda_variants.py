@@ -308,6 +308,50 @@ def test_fmda_adaptor_sim_feat_step():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_domain_adaptor_merged_passes():
+    """DomainAdaptor's merged {src, trg} vmapped pass (default) must
+    equal the sequential two-apply path: identical losses and the
+    composed BN running stats.  SGD comparison for the same reason as
+    test_merged_student_passes: post-step params then read the raw
+    gradient delta instead of AdamW's sign-amplified one."""
+    cfg = tiny_model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+
+    def mk(merge):
+        return SEGMENTORS.build(dict(
+            type='DomainAdaptor',
+            backbone=cfg['backbone'],
+            decode_head=cfg['decode_head'],
+            auxiliary_head=cfg['auxiliary_head'],
+            weight_trg=0.5,
+            merge_student_passes=merge,
+            train_cfg=dict(), test_cfg=dict(mode='whole')))
+
+    tx = optax.sgd(1e-2)
+    b = _batch()
+    b['target_gt_semantic_seg'] = b['gt_semantic_seg'][:, :, ::-1]
+    rng = jax.random.PRNGKey(3)
+    outs = []
+    for merge in (True, False):
+        adaptor = mk(merge)
+        state = adaptor.init_state(jax.random.PRNGKey(0),
+                                   (1, 32, 32, 3), tx)
+        step = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+        outs.append(step(state, b, rng))
+    (sm, lvm, _), (ss, lvs, _) = outs
+    assert 'trg.decode.loss_ce' in lvm
+    assert set(lvm) == set(lvs)
+    for k in lvm:
+        np.testing.assert_allclose(float(lvm[k]), float(lvs[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    dp = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                      sm.params, ss.params)
+    assert max(jax.tree.leaves(dp)) < 1e-5
+    db = jax.tree.map(lambda a, c: float(jnp.abs(a - c).max()),
+                      sm.batch_stats, ss.batch_stats)
+    assert max(jax.tree.leaves(db)) < 5e-5
+
+
 def test_domain_adaptor_v2_aux_losses():
     """DomainAdaptorV2 (domain_adaptorv2.py): tensors-dict aux losses
     (here EntropyLoss on the target logits) added to the joint step."""
