@@ -93,8 +93,10 @@ def bench_train_step():
     import bench_train as bt
 
     batch_size, steps = 2, 10
-    try:
-        _, state, step = bt.build(batch_size, SIZE, 'bf16')
+
+    def _run(no_merge):
+        _, state, step = bt.build(batch_size, SIZE, 'bf16',
+                                  no_merge=no_merge)
         rs = np.random.RandomState(0)
         rng = jax.random.PRNGKey(7)
         for i in range(2):  # compile + warm
@@ -132,11 +134,26 @@ def bench_train_step():
         out['train_note'] = (
             'full PFGST UDA iteration (EMA+teacher+ClassMix+merged '
             'source/mixed student fwd+bwd+PFGST losses+AdamW), '
-            '512^2 batch 2 bf16; '
+            f'{SIZE}^2 batch {batch_size} bf16; '
             '_with_transfers includes host->device batch transfer')
         return out
-    except Exception as e:  # the headline metric must still print
-        return {'train_bench_error': f'{type(e).__name__}: {e}'}
+
+    try:
+        out = _run(False)
+        out['train_merged_passes'] = True
+        return out
+    except Exception as e:  # the headline metric must still print;
+        # if the merged program trips the remote compile helper, fall
+        # back to the sequential two-pass step so BENCH still carries
+        # a train entry
+        try:
+            out = _run(True)
+            out['train_merged_passes'] = False
+            out['train_merge_fallback_error'] = (
+                f'{type(e).__name__}: {e}')
+            return out
+        except Exception as e2:
+            return {'train_bench_error': f'{type(e2).__name__}: {e2}'}
 
 
 def main():
