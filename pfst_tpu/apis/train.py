@@ -401,6 +401,8 @@ def train_segmentor(cfg,
     log_interval = (cfg.get('log_config') or {}).get('interval', 50)
     ckpt_interval = (cfg.get('checkpoint_config') or {}).get(
         'interval', 4000)
+    ckpt_async = bool((cfg.get('checkpoint_config') or {}).get(
+        'async_save', False))
     eval_cfg = cfg.get('evaluation') or {}
     eval_interval = eval_cfg.get('interval', 4000)
 
@@ -509,6 +511,24 @@ def train_segmentor(cfg,
                 out[k] = v
             return jax.device_put(out) if use_device_put else out
 
+    # Preemption safety (beyond the reference, which dies mid-step and
+    # loses up to ckpt_interval iterations): SIGTERM / SIGUSR1 — the
+    # eviction notices TPU pods get — request a checkpoint + clean exit
+    # at the next iteration boundary.  Handlers only install in the
+    # main thread (signal.signal raises elsewhere, e.g. under pytest
+    # workers).
+    preempt = {'sig': None}
+    _old_handlers = {}
+    if work_dir:
+        import signal
+        import threading
+        if threading.current_thread() is threading.main_thread():
+            def _on_preempt(sig, frame):
+                preempt['sig'] = sig
+
+            for s in (signal.SIGTERM, signal.SIGUSR1):
+                _old_handlers[s] = signal.signal(s, _on_preempt)
+
     print_log('entering train loop (first step compiles)...', logger)
     # diagnostic: PFST_REPEAT_FIRST_BATCH=1 trains on the first batch
     # forever, removing ALL per-iter data-pipeline work — on a 1-core
@@ -562,10 +582,24 @@ def train_segmentor(cfg,
             print_log(f'training halted by hook: {e}', logger)
             break
 
-        if work_dir and (it + 1) % ckpt_interval == 0:
+        if work_dir and preempt['sig'] is not None:
             save_checkpoint(work_dir, it + 1, jax.device_get(state),
                             meta=meta)
-            print_log(f'checkpoint saved @ iter {it + 1}', logger)
+            print_log(f'preemption signal {preempt["sig"]}: '
+                      f'checkpoint saved @ iter {it + 1}, exiting '
+                      '(auto_resume continues from here)', logger)
+            break
+
+        if work_dir and (it + 1) % ckpt_interval == 0:
+            # async_save hands device arrays straight to Orbax (one
+            # host snapshot, disk IO on a background thread) so the
+            # loop keeps stepping while the checkpoint commits
+            save_checkpoint(work_dir, it + 1,
+                            state if ckpt_async else
+                            jax.device_get(state),
+                            meta=meta, async_save=ckpt_async)
+            print_log(f'checkpoint saved @ iter {it + 1}'
+                      + (' (async)' if ckpt_async else ''), logger)
 
         if validate and (it + 1) % eval_interval == 0:
             metrics = evaluate_during_train(cfg, algo, state, eval_cfg,
@@ -588,9 +622,20 @@ def train_segmentor(cfg,
                         f'{metrics[save_best]:.4f} @ iter {it + 1}',
                         logger)
 
-    if work_dir:
+    if work_dir and preempt['sig'] is None and \
+            (max_iters % ckpt_interval != 0
+             or int(state.step) != max_iters):
+        # the interval save already wrote this exact step otherwise
+        # (and the preemption path wrote its own)
         save_checkpoint(work_dir, max_iters, jax.device_get(state),
                         meta=meta)
+    if _old_handlers:
+        import signal
+        for s, h in _old_handlers.items():
+            signal.signal(s, h)
+    if ckpt_async:
+        from ..core.checkpoint import wait_for_pending
+        wait_for_pending()
     for h in hooks:
         h.after_run(ctx)
     return state

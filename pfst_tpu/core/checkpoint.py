@@ -22,13 +22,51 @@ def _ckpt_dir(work_dir: str) -> str:
     return osp.join(osp.abspath(work_dir), 'ckpt')
 
 
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_pending() -> None:
+    """Block until every in-flight async save has committed.
+
+    Call before reading a just-written checkpoint or at process exit.
+    Orbax finalizes atomically (tmp dir renamed on commit), so a crash
+    mid-save leaves no partial step directory and ``
+    find_latest_checkpoint`` falls back to the previous committed step.
+    """
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(work_dir: str, step: int, state: Any,
-                    meta: Optional[Dict] = None) -> str:
-    """Save the full train state under ``{work_dir}/ckpt/{step}``."""
+                    meta: Optional[Dict] = None,
+                    async_save: bool = False) -> str:
+    """Save the full train state under ``{work_dir}/ckpt/{step}``.
+
+    ``async_save=True`` (beyond the reference, which blocks training on
+    every torch.save: ``apis/train.py:184-191``) snapshots the arrays
+    to host synchronously, then writes to disk on a background thread —
+    the train loop overlaps the IO with the next steps.  Pass device
+    arrays directly (no ``jax.device_get``) to skip one host copy.
+    """
     path = osp.join(_ckpt_dir(work_dir), str(int(step)))
-    ckptr = ocp.PyTreeCheckpointer()
-    state = jax.tree.map(lambda x: x, state)  # ensure materialised
-    ckptr.save(path, state, force=True)
+    if async_save:
+        _async_ckptr().save(path, state, force=True)
+    else:
+        # a sync save may target a path an async save is still
+        # committing (e.g. interval save + final save at the same
+        # step) — force=True would rip the tmp dir out from under the
+        # background writer
+        wait_for_pending()
+        ckptr = ocp.PyTreeCheckpointer()
+        state = jax.tree.map(lambda x: x, state)  # ensure materialised
+        ckptr.save(path, state, force=True)
     if meta is not None:
         with open(osp.join(_ckpt_dir(work_dir), 'meta.json'), 'w') as f:
             json.dump(meta, f, default=str)
@@ -41,6 +79,7 @@ def save_checkpoint(work_dir: str, step: int, state: Any,
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Load a checkpoint; with ``target`` given, restores into its
     structure (dtypes/shapes validated)."""
+    wait_for_pending()  # a just-issued async save must commit first
     path = osp.abspath(osp.expanduser(path))  # orbax requires absolute
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:

@@ -69,6 +69,25 @@ def test_extract_student_from_uda_state(uda_state, tmp_path):
     assert out.shape[-1] == 6
 
 
+def test_async_save_roundtrip(uda_state, tmp_path):
+    """async_save commits on a background thread; wait_for_pending (or
+    any load_checkpoint) barriers, and the restored tree is identical
+    to the device state handed in — including back-to-back saves."""
+    from pfst_tpu.core.checkpoint import wait_for_pending
+    algo, state = uda_state
+    wd = str(tmp_path / 'wd_async')
+    save_checkpoint(wd, 1, state, async_save=True)
+    path2 = save_checkpoint(wd, 2, state, meta={'seed': 1},
+                            async_save=True)
+    wait_for_pending()
+    assert find_latest_checkpoint(wd) == path2
+    restored = load_checkpoint(path2, target=state)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params, restored.params)
+    assert max(jax.tree.leaves(d)) == 0.0
+    assert load_meta(wd)['seed'] == 1
+
+
 def test_publish_model_cli(uda_state, tmp_path):
     import sys
     sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
