@@ -86,9 +86,29 @@ def single_gpu_test(model,
                     out_dir: Optional[str] = None,
                     progress: bool = True,
                     return_states: bool = False,
-                    state_proc_cfg: Optional[dict] = None):
+                    state_proc_cfg: Optional[dict] = None,
+                    quant_int8: bool = False):
     """Returns pre_eval tuples (or label maps); with ``return_states``
-    also a list of per-image feature-state dicts."""
+    also a list of per-image feature-state dicts.
+
+    ``quant_int8``: trace the forward as int8-PTQ convolutions
+    (``pfst_tpu/ops/quant.py``) — the MXU s8 mode; the TPU analogue of
+    the reference's TensorRT precision lowering
+    (``tools/onnx2tensorrt.py:112-128``)."""
+    import contextlib
+    qctx = contextlib.nullcontext()
+    if quant_int8:
+        from ..ops.quant import int8_inference
+        qctx = int8_inference()
+    with qctx:
+        return _single_gpu_test_body(
+            model, variables, data_loader, pre_eval, format_only,
+            out_dir, progress, return_states, state_proc_cfg)
+
+
+def _single_gpu_test_body(model, variables, data_loader, pre_eval,
+                          format_only, out_dir, progress,
+                          return_states, state_proc_cfg):
     dataset = data_loader.dataset
     infer = make_inference_fn(model)
     state_fn = make_state_fn(model, state_proc_cfg) if return_states \

@@ -1,0 +1,145 @@
+"""Int8 PTQ inference: numerics, calibration, skip rules.
+
+The quantized program must track fp32 closely (per-channel weights +
+per-tensor activations) while actually emitting s8 convolutions.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import tiny_model_cfg
+from pfst_tpu.models import build_segmentor
+from pfst_tpu.models.utils.layers import ConvModule
+from pfst_tpu.ops.quant import (calibrate_act_scales, int8_inference)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape),
+                       jnp.float32)
+
+
+def test_conv_module_int8_numerics():
+    m = ConvModule(out_channels=16, kernel_size=3, padding=1,
+                   norm_cfg=None, act_cfg=dict(type='none'))
+    x = _rand((2, 16, 16, 8))
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(v, x)
+    with int8_inference(skip=()):
+        q = m.apply(v, x)
+    rel = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+    # and the traced program really contains an s8 convolution
+    with int8_inference(skip=()):
+        hlo = jax.jit(lambda v, x: m.apply(v, x)).lower(v, x).as_text()
+    assert 'xi8>' in hlo and 'xi8>) -> tensor' in hlo  # s8 conv emitted
+
+
+def test_dense_int8_numerics():
+    m = nn.Dense(32)
+    x = _rand((4, 7, 24), seed=3)
+    v = m.init(jax.random.PRNGKey(1), x)
+    ref = m.apply(v, x)
+    with int8_inference(skip=()):
+        q = m.apply(v, x)
+    rel = float(jnp.max(jnp.abs(q - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+
+
+@pytest.fixture(scope='module')
+def tiny_seg():
+    model = build_segmentor(tiny_model_cfg())
+    x = _rand((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), x, method=model.inference)
+    return model, v, x
+
+
+def test_segmentor_int8_close_and_calibrated(tiny_seg):
+    model, v, x = tiny_seg
+    ref, _ = model.apply(v, x, method=model.inference)
+    with int8_inference():
+        q, _ = model.apply(v, x, method=model.inference)
+    # softmax outputs: absolute closeness + argmax agreement
+    assert float(jnp.max(jnp.abs(q - ref))) < 0.08
+    agree = float(jnp.mean(jnp.argmax(q, -1) == jnp.argmax(ref, -1)))
+    assert agree > 0.95, agree
+
+    # static calibration covers every quantized conv; conv_seg skipped
+    scales = calibrate_act_scales(
+        lambda b: model.apply(v, b, method=model.inference), [x])
+    assert scales and not any('conv_seg' in p for p in scales)
+    with int8_inference(act_scales=scales):
+        qs, _ = model.apply(v, x, method=model.inference)
+    assert float(jnp.max(jnp.abs(qs - ref))) < 0.08
+
+
+def test_mit_backbone_int8_close():
+    """Transformer backbones quantize through the nn.Dense path (qkv/
+    proj/mlp); attention softmax and norms stay fp32."""
+    from pfst_tpu.models.backbones.mit import MixVisionTransformer
+    m = MixVisionTransformer(embed_dims=8, num_layers=(1, 1, 1, 1))
+    x = _rand((1, 32, 32, 3), seed=5)
+    v = m.init(jax.random.PRNGKey(2), x)
+    ref = m.apply(v, x)
+    with int8_inference():
+        q = m.apply(v, x)
+    for r, qq in zip(ref, q):
+        rel = float(jnp.max(jnp.abs(qq - r)) /
+                    (jnp.max(jnp.abs(r)) + 1e-9))
+        assert rel < 0.15, rel  # 4 stages compound the rounding
+
+
+def test_eval_pipeline_quant_int8(tmp_path):
+    """single_gpu_test(quant_int8=True) runs the full eval path and its
+    mIoU lands within 2 points of fp32 on the synthetic val set."""
+    import os
+    import cv2
+    root = tmp_path / 'qeval'
+    rs = np.random.RandomState(7)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(4):
+        img = rs.randint(0, 255, (40, 40, 3), np.uint8)
+        ann = rs.randint(0, 7, (40, 40)).astype(np.uint8)
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'), img)
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'), ann)
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize',
+                      mean=[123.675, 116.28, 103.53],
+                      std=[58.395, 57.12, 57.375], to_rgb=True),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img'])])]
+    from pfst_tpu.datasets import build_dataloader, build_dataset
+    ds = build_dataset(dict(
+        type='ISPRSDataset', data_root=str(root), img_dir='img_dir/val',
+        ann_dir='ann_dir/val',
+        gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+        pipeline=pipeline, test_mode=True))
+    loader = build_dataloader(ds, 1, 1, shuffle=False)
+    model = build_segmentor(tiny_model_cfg())
+    v = jax.jit(lambda r, im: model.init({'params': r}, im,
+                                         train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
+    from pfst_tpu.apis import single_gpu_test
+    res_fp = single_gpu_test(model, v, loader, pre_eval=True,
+                             progress=False)
+    res_q = single_gpu_test(model, v, loader, pre_eval=True,
+                            progress=False, quant_int8=True)
+    m_fp = ds.evaluate(res_fp, metric='mIoU')['mIoU']
+    m_q = ds.evaluate(res_q, metric='mIoU')['mIoU']
+    assert abs(m_fp - m_q) < 2.0, (m_fp, m_q)
+
+
+def test_int8_under_jit_matches_eager(tiny_seg):
+    model, v, x = tiny_seg
+    with int8_inference():
+        eager, _ = model.apply(v, x, method=model.inference)
+        jitted, _ = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.inference))(v, x)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
+                               atol=1e-5)

@@ -41,7 +41,9 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 class Predictor:
     """Checkpointed segmentor with a shape-keyed jit cache."""
 
-    def __init__(self, config, checkpoint=None, seed=0):
+    def __init__(self, config, checkpoint=None, seed=0,
+                 quant_int8=False):
+        self.quant_int8 = quant_int8
         from pfst_tpu.apis.inference import init_segmentor
         self.model, self.variables = init_segmentor(config, checkpoint)
         if self.variables is None:  # smoke-serving without a checkpoint
@@ -66,6 +68,12 @@ class Predictor:
             fn = jax.jit(lambda v, im: model.apply(
                 v, im, method=model.inference))
             self._jitted[key] = fn
+        if self.quant_int8:
+            # the int8 interceptor must be active at TRACE time; jit
+            # caches per shape so only the first call re-traces
+            from pfst_tpu.ops.quant import int8_inference
+            with int8_inference():
+                return fn(variables, batch_img)
         return fn(variables, batch_img)
 
     def predict(self, img_bgr: np.ndarray) -> np.ndarray:
@@ -146,8 +154,9 @@ def make_handler(predictor: Predictor):
     return Handler
 
 
-def build_server(config, checkpoint=None, host='127.0.0.1', port=8080):
-    predictor = Predictor(config, checkpoint)
+def build_server(config, checkpoint=None, host='127.0.0.1', port=8080,
+                 quant_int8=False):
+    predictor = Predictor(config, checkpoint, quant_int8=quant_int8)
     return ThreadingHTTPServer((host, port), make_handler(predictor))
 
 
@@ -157,13 +166,15 @@ def parse_args(args=None):
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--host', default='0.0.0.0')
     p.add_argument('--port', type=int, default=8080)
+    p.add_argument('--quant-int8', action='store_true',
+                   help='int8-PTQ convolutions (pfst_tpu/ops/quant.py)')
     return p.parse_args(args)
 
 
 def main(args=None):
     args = parse_args(args)
     server = build_server(args.config, args.checkpoint, args.host,
-                          args.port)
+                          args.port, quant_int8=args.quant_int8)
     print(f'serving on http://{args.host}:{server.server_address[1]}',
           file=sys.stderr)
     try:

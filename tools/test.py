@@ -36,6 +36,9 @@ def parse_args(args=None):
                         default=False, help='compat no-op')
     parser.add_argument('--cfg-options', nargs='+', action=DictAction)
     parser.add_argument('--eval-options', nargs='+', action=DictAction)
+    parser.add_argument('--quant-int8', action='store_true',
+                        help='int8-PTQ convolutions (MXU s8 mode); '
+                             'see pfst_tpu/ops/quant.py')
     parser.add_argument('--launcher', default='none')
     parser.add_argument('--local_rank', type=int, default=0)
     return parser.parse_args(args)
@@ -86,10 +89,15 @@ def main(args=None):
 
     test_fn = multi_gpu_test if jax.local_device_count() > 1 \
         else single_gpu_test
+    extra = {}
+    if args.quant_int8:
+        if test_fn is multi_gpu_test:
+            raise SystemExit('--quant-int8 is single-device only')
+        extra['quant_int8'] = True
     results = test_fn(
         model, variables, loader,
         pre_eval=bool(args.eval) and not args.format_only,
-        format_only=args.format_only, out_dir=args.show_dir)
+        format_only=args.format_only, out_dir=args.show_dir, **extra)
 
     if args.format_only:
         files = dataset.format_results(results, args.imgfile_prefix)
