@@ -529,6 +529,15 @@ def train_segmentor(cfg,
             for s in (signal.SIGTERM, signal.SIGUSR1):
                 _old_handlers[s] = signal.signal(s, _on_preempt)
 
+
+    def ckpt_view(s):
+        # single process: host snapshot (decouples from donation).
+        # multi-process: hand Orbax the GLOBAL jax arrays — every
+        # process calls save collectively and writes only its own
+        # addressable shards (required for ZeRO-3; a host copy of a
+        # non-fully-addressable array would throw anyway)
+        return s if jax.process_count() > 1 else jax.device_get(s)
+
     print_log('entering train loop (first step compiles)...', logger)
     # diagnostic: PFST_REPEAT_FIRST_BATCH=1 trains on the first batch
     # forever, removing ALL per-iter data-pipeline work — on a 1-core
@@ -582,10 +591,25 @@ def train_segmentor(cfg,
             print_log(f'training halted by hook: {e}', logger)
             break
 
-        if work_dir and preempt['sig'] is not None:
-            save_checkpoint(work_dir, it + 1, jax.device_get(state),
+        # Preemption exit.  Multi-process worlds must AGREE on the
+        # stop iteration (the save below is a collective Orbax write;
+        # eviction signals can land one iteration apart per host), so
+        # they vote by allgather on the log cadence; single-process
+        # stops immediately.
+        stop_now = preempt['sig'] is not None
+        if work_dir and jax.process_count() > 1:
+            if (it + 1) % log_interval == 0:
+                from jax.experimental import multihost_utils
+                votes = multihost_utils.process_allgather(
+                    np.array([1 if stop_now else 0], np.int32))
+                stop_now = int(np.sum(votes)) > 0
+            else:
+                stop_now = False
+        if work_dir and stop_now:
+            save_checkpoint(work_dir, it + 1, ckpt_view(state),
                             meta=meta)
-            print_log(f'preemption signal {preempt["sig"]}: '
+            print_log('preemption signal '
+                      f'{preempt["sig"] or "(peer vote)"}: '
                       f'checkpoint saved @ iter {it + 1}, exiting '
                       '(auto_resume continues from here)', logger)
             break
@@ -596,7 +620,7 @@ def train_segmentor(cfg,
             # loop keeps stepping while the checkpoint commits
             save_checkpoint(work_dir, it + 1,
                             state if ckpt_async else
-                            jax.device_get(state),
+                            ckpt_view(state),
                             meta=meta, async_save=ckpt_async)
             print_log(f'checkpoint saved @ iter {it + 1}'
                       + (' (async)' if ckpt_async else ''), logger)
@@ -616,7 +640,7 @@ def train_segmentor(cfg,
                     ctx['best_score'] = metrics[save_best]
                     save_checkpoint(
                         osp.join(work_dir, 'best'), it + 1,
-                        jax.device_get(state), meta=meta)
+                        ckpt_view(state), meta=meta)
                     print_log(
                         f'new best {save_best}='
                         f'{metrics[save_best]:.4f} @ iter {it + 1}',
@@ -627,7 +651,7 @@ def train_segmentor(cfg,
              or int(state.step) != max_iters):
         # the interval save already wrote this exact step otherwise
         # (and the preemption path wrote its own)
-        save_checkpoint(work_dir, max_iters, jax.device_get(state),
+        save_checkpoint(work_dir, max_iters, ckpt_view(state),
                         meta=meta)
     if _old_handlers:
         import signal

@@ -54,6 +54,13 @@ def save_checkpoint(work_dir: str, step: int, state: Any,
     to host synchronously, then writes to disk on a background thread —
     the train loop overlaps the IO with the next steps.  Pass device
     arrays directly (no ``jax.device_get``) to skip one host copy.
+
+    Multi-process worlds MUST call this collectively on every process
+    with the global ``jax.Array`` state (not a host copy): Orbax then
+    writes each process's addressable shards and the primary commits —
+    the torch pattern of "rank 0 torch.saves" would deadlock Orbax's
+    barrier and cannot see ZeRO-3-partitioned weights anyway.
+    ``exercised in tests/test_multihost.py``.
     """
     path = osp.join(_ckpt_dir(work_dir), str(int(step)))
     if async_save:
@@ -67,12 +74,14 @@ def save_checkpoint(work_dir: str, step: int, state: Any,
         ckptr = ocp.PyTreeCheckpointer()
         state = jax.tree.map(lambda x: x, state)  # ensure materialised
         ckptr.save(path, state, force=True)
-    if meta is not None:
-        with open(osp.join(_ckpt_dir(work_dir), 'meta.json'), 'w') as f:
-            json.dump(meta, f, default=str)
-    latest = osp.join(_ckpt_dir(work_dir), 'latest')
-    with open(latest, 'w') as f:
-        f.write(str(int(step)))
+    if jax.process_index() == 0:  # tiny side files: primary only
+        if meta is not None:
+            with open(osp.join(_ckpt_dir(work_dir), 'meta.json'),
+                      'w') as f:
+                json.dump(meta, f, default=str)
+        latest = osp.join(_ckpt_dir(work_dir), 'latest')
+        with open(latest, 'w') as f:
+            f.write(str(int(step)))
     return path
 
 
@@ -83,7 +92,14 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = osp.abspath(osp.expanduser(path))  # orbax requires absolute
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        return ckptr.restore(path, item=target)
+        try:
+            # carries per-leaf shardings when the target holds global
+            # jax.Arrays (multi-process restore lands each process's
+            # shards directly); degrades to plain numpy otherwise
+            args = ocp.checkpoint_utils.construct_restore_args(target)
+            return ckptr.restore(path, item=target, restore_args=args)
+        except Exception:
+            return ckptr.restore(path, item=target)
     return ckptr.restore(path)
 
 

@@ -70,6 +70,19 @@ batch = shard_batch({{'img': jnp.asarray(g_img[local]),
 state, log_vars, _ = step(state, batch, jax.random.PRNGKey(1))
 jax.block_until_ready(state.params)
 print(f'MHLOSS {{float(log_vars["loss"]):.10f}}', flush=True)
+
+# multi-process checkpointing: every process calls save COLLECTIVELY
+# with the global jax.Array state (orbax writes each process's
+# addressable shards, the primary commits), then restores with the
+# sharded target and must continue identically to the live state
+wd = sys.argv[3]
+from pfst_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+path = save_checkpoint(wd, 1, state)
+restored = load_checkpoint(path, target=state)
+_, lv_b, _ = step(restored, batch, jax.random.PRNGKey(2))
+_, lv_a, _ = step(state, batch, jax.random.PRNGKey(2))
+print(f'MHCONT {{float(lv_a["loss"]):.10f}} '
+      f'{{float(lv_b["loss"]):.10f}}', flush=True)
 """
 
 
@@ -83,20 +96,30 @@ def test_two_process_world_matches_single_process(tmp_path):
     s.close()
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS',)}
+    wd = str(tmp_path / 'mh_ckpt')
     procs = [
         subprocess.Popen([sys.executable, str(worker), str(port),
-                          str(i)], stdout=subprocess.PIPE,
+                          str(i), wd], stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE, text=True, env=env)
         for i in range(2)
     ]
-    losses = []
+    losses, conts = [], []
     for p in procs:
         out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-3000:]
         line = [ln for ln in out.splitlines()
                 if ln.startswith('MHLOSS')][0]
         losses.append(float(line.split()[1]))
+        cline = [ln for ln in out.splitlines()
+                 if ln.startswith('MHCONT')][0]
+        conts.append(tuple(float(x) for x in cline.split()[1:]))
     assert losses[0] == losses[1], losses
+    # collective save -> sharded restore -> identical continuation,
+    # agreed on by both processes
+    for live, restored in conts:
+        assert live == restored, conts
+    assert conts[0] == conts[1], conts
+    assert osp.isdir(osp.join(wd, 'ckpt', '1'))
 
     # single-process reference on this test process's own 8-device
     # mesh, same global batch, same seeds
