@@ -351,11 +351,10 @@ def train_segmentor(cfg,
 
     max_iters = max_iters_override or cfg.runner['max_iters']
     algo = build_algorithm(cfg)
+    opt_cfg = dict(cfg.get('optimizer_config') or {})
     tx = build_optimizer(dict(cfg.optimizer), cfg.get('lr_config'),
-                         max_iters,
-                         (cfg.get('optimizer_config') or {}).get(
-                             'grad_clip') if cfg.get(
-                                 'optimizer_config') else None)
+                         max_iters, opt_cfg.get('grad_clip'),
+                         opt_cfg.get('cumulative_iters', 1))
     norm = _img_norm_from_pipeline(cfg)
 
     batch_iter = iter(loader)

@@ -113,8 +113,19 @@ def layer_decay_transforms(paramwise_cfg: dict, make):
 def build_optimizer(optimizer_cfg: dict,
                     lr_config: Optional[dict] = None,
                     max_iters: int = 40000,
-                    grad_clip: Optional[dict] = None):
-    """Build an optax GradientTransformation from reference-style cfg."""
+                    grad_clip: Optional[dict] = None,
+                    cumulative_iters: int = 1):
+    """Build an optax GradientTransformation from reference-style cfg.
+
+    ``cumulative_iters`` > 1 (mmcv ``GradientCumulativeOptimizerHook``
+    surface: ``optimizer_config = dict(cumulative_iters=k)``) wraps the
+    transform in ``optax.MultiSteps``: every step computes fwd+bwd on
+    its own micro-batch and the mean gradient is applied once per k
+    iterations — effective batch = k × samples_per_gpu with unchanged
+    per-iteration memory. Iter-indexed schedules (poly over
+    ``runner.max_iters``) keep reference semantics: the inner schedule
+    is indexed by the micro-iteration at which each update applies.
+    """
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop('type', 'AdamW')
     base_lr = cfg.pop('lr', 1e-3)
@@ -137,6 +148,11 @@ def build_optimizer(optimizer_cfg: dict,
     elif constructor not in (None, 'DefaultOptimizerConstructor'):
         raise ValueError(f'unsupported constructor {constructor}')
     schedule = build_lr_schedule(lr_config, base_lr, max_iters)
+    cum_k = max(int(cumulative_iters or 1), 1)
+    if cum_k > 1 and callable(schedule):
+        iter_schedule = schedule
+        schedule = lambda s: iter_schedule(  # noqa: E731
+            s * cum_k + (cum_k - 1))
 
     def make(lr_mult=1.0, decay_mult=1.0):
         if callable(schedule):
@@ -187,14 +203,20 @@ def build_optimizer(optimizer_cfg: dict,
     if grad_clip:
         tx = optax.chain(
             optax.clip_by_global_norm(grad_clip.get('max_norm', 1.0)), tx)
+    if cum_k > 1:
+        # clip applies to the accumulated mean gradient (the reference
+        # hook also clips at step time, mmcv OptimizerHook semantics)
+        tx = optax.MultiSteps(tx, every_k_schedule=cum_k)
     return tx
 
 
 def build_optimizers(cfg: dict, lr_config=None, max_iters=40000,
-                     grad_clip=None) -> Any:
+                     grad_clip=None, cumulative_iters=1) -> Any:
     """Multi-optimizer support (``core/builder.py:36-90``): a dict of
     optimizer cfgs (one per submodule) yields a dict of transforms."""
     if 'type' in cfg:
-        return build_optimizer(cfg, lr_config, max_iters, grad_clip)
-    return {name: build_optimizer(sub, lr_config, max_iters, grad_clip)
+        return build_optimizer(cfg, lr_config, max_iters, grad_clip,
+                               cumulative_iters)
+    return {name: build_optimizer(sub, lr_config, max_iters, grad_clip,
+                                  cumulative_iters)
             for name, sub in cfg.items()}
