@@ -204,7 +204,40 @@ def main():
         rec['mfu_pct_v5e_bf16'] = round(
             100 * achieved / V5E_BF16_PEAK_TFLOPS, 1)
     rec.update(bench_train_step())
+    rec.update(bench_int8(fn, variables, img))
     print(json.dumps(rec))
+
+
+def bench_int8(fn, variables, img):
+    """Optional int8-PTQ A/B of the same fused program
+    (PFST_BENCH_INT8=1 to enable; see tools/int8_microbench.py for the
+    standalone version with accuracy checks)."""
+    import os
+    if os.environ.get('PFST_BENCH_INT8', '0') != '1':
+        return {}
+    try:
+        from pfst_tpu.ops.quant import int8_inference
+        with int8_inference():
+            qfn = jax.jit(fn.__wrapped__)
+            imgs = [img + 0.001 * i for i in range(STEPS)]
+            for i in range(WARMUP):
+                out = qfn(variables, imgs[i % STEPS])
+            _ = np.asarray(out[2])
+            best = None
+            for rep in range(3):
+                imgs = [img + 0.001 * (1 + rep * STEPS + i)
+                        for i in range(STEPS)]
+                jax.block_until_ready(imgs[-1])
+                t0 = time.perf_counter()
+                outs = [qfn(variables, imgs[i]) for i in range(STEPS)]
+                _ = [np.asarray(o[2]) for o in outs]
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        return {'int8_patches_per_sec': round(BATCH * STEPS / best, 2),
+                'int8_note': 'same fused program, s8 convs '
+                             '(PTQ, dynamic act scales)'}
+    except Exception as e:
+        return {'int8_bench_error': f'{type(e).__name__}: {e}'}
 
 
 if __name__ == '__main__':

@@ -87,7 +87,8 @@ def single_gpu_test(model,
                     progress: bool = True,
                     return_states: bool = False,
                     state_proc_cfg: Optional[dict] = None,
-                    quant_int8: bool = False):
+                    quant_int8: bool = False,
+                    act_scales: Optional[dict] = None):
     """Returns pre_eval tuples (or label maps); with ``return_states``
     also a list of per-image feature-state dicts.
 
@@ -99,7 +100,7 @@ def single_gpu_test(model,
     qctx = contextlib.nullcontext()
     if quant_int8:
         from ..ops.quant import int8_inference
-        qctx = int8_inference()
+        qctx = int8_inference(act_scales=act_scales)
     with qctx:
         return _single_gpu_test_body(
             model, variables, data_loader, pre_eval, format_only,

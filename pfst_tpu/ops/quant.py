@@ -141,13 +141,14 @@ def calibrate_act_scales(apply_fn, batches,
                          skip: Iterable[str] = DEFAULT_SKIP
                          ) -> Dict[str, float]:
     """Run ``apply_fn(batch)`` eagerly over ``batches`` recording the
-    running ``max|input|`` per conv path.  The returned table feeds
-    :func:`int8_inference` to drop the per-conv dynamic reduction."""
+    running ``max|input|`` per conv/dense path.  The returned table
+    feeds :func:`int8_inference` to drop the per-layer dynamic
+    reduction."""
     scales: Dict[str, float] = {}
 
     def recorder(next_fun, args, kwargs, context):
         mod = context.module
-        if (isinstance(mod, nn.Conv)
+        if (isinstance(mod, (nn.Conv, nn.Dense))
                 and context.method_name == '__call__'
                 and not _should_skip(_conv_path(mod), skip)):
             p = _conv_path(mod)

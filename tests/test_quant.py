@@ -135,6 +135,48 @@ def test_eval_pipeline_quant_int8(tmp_path):
     assert abs(m_fp - m_q) < 2.0, (m_fp, m_q)
 
 
+def test_calibrate_cli_writes_scales(tmp_path):
+    """tools/calibrate_int8.py records one scale per quantized layer
+    from real val images through a config file."""
+    import os
+    import sys
+    import json
+    import cv2
+    import os.path as osp
+    root = tmp_path / 'cal'
+    rs = np.random.RandomState(1)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(2):
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 255, (40, 40, 3), np.uint8))
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 7, (40, 40)).astype(np.uint8))
+    cfg_py = tmp_path / 'cfg.py'
+    cfg_py.write_text(
+        f'model = {tiny_model_cfg()!r}\n'
+        'data = dict(val=dict(type="ISPRSDataset", '
+        f'data_root={str(root)!r}, img_dir="img_dir/val", '
+        'ann_dir="ann_dir/val", test_mode=True, '
+        'gt_seg_map_loader_cfg=dict(reduce_zero_label=True), '
+        'pipeline=[dict(type="LoadImageFromFile"), '
+        'dict(type="MultiScaleFlipAug", img_scale=(40, 40), '
+        'flip=False, transforms=[dict(type="Resize", keep_ratio=True), '
+        'dict(type="Normalize", mean=[123.675, 116.28, 103.53], '
+        'std=[58.395, 57.12, 57.375], to_rgb=True), '
+        'dict(type="ImageToTensor", keys=["img"]), '
+        'dict(type="Collect", keys=["img"])])]))\n')
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    import importlib
+    cal = importlib.import_module('calibrate_int8')
+    out = str(tmp_path / 'scales.json')
+    cal.main([str(cfg_py), '-o', out, '-n', '2'])
+    scales = json.load(open(out))
+    assert len(scales) > 3
+    assert all(v > 0 for v in scales.values())
+    assert not any('conv_seg' in k for k in scales)
+
+
 def test_int8_under_jit_matches_eager(tiny_seg):
     model, v, x = tiny_seg
     with int8_inference():
@@ -143,3 +185,78 @@ def test_int8_under_jit_matches_eager(tiny_seg):
             lambda v, x: model.apply(v, x, method=model.inference))(v, x)
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted),
                                atol=1e-5)
+
+
+def test_tools_test_cli_int8_act_scales(tmp_path, monkeypatch):
+    """End-to-end CLI seam: tools/test.py --quant-int8 --act-scales
+    loads the calibration table and the eval result lands within 2
+    mIoU of the fp32 CLI run (single-device path forced; the sharded
+    multi_gpu_test guard is exercised separately below)."""
+    import os
+    import sys
+    import json
+    import cv2
+    import os.path as osp
+    import importlib
+    root = tmp_path / 'clieval'
+    rs = np.random.RandomState(3)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(3):
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 255, (40, 40, 3), np.uint8))
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 7, (40, 40)).astype(np.uint8))
+    split = ('dict(type="ISPRSDataset", '
+             f'data_root={str(root)!r}, img_dir="img_dir/val", '
+             'ann_dir="ann_dir/val", test_mode=True, '
+             'gt_seg_map_loader_cfg=dict(reduce_zero_label=True), '
+             'pipeline=[dict(type="LoadImageFromFile"), '
+             'dict(type="MultiScaleFlipAug", img_scale=(40, 40), '
+             'flip=False, transforms=[dict(type="Resize", '
+             'keep_ratio=True), '
+             'dict(type="Normalize", mean=[123.675, 116.28, 103.53], '
+             'std=[58.395, 57.12, 57.375], to_rgb=True), '
+             'dict(type="ImageToTensor", keys=["img"]), '
+             'dict(type="Collect", keys=["img"])])])')
+    cfg_py = tmp_path / 'cfg.py'
+    cfg_py.write_text(f'model = {tiny_model_cfg()!r}\n'
+                      f'data = dict(val={split}, test={split}, '
+                      'workers_per_gpu=1)\n')
+
+    model = build_segmentor(tiny_model_cfg())
+    v = jax.jit(lambda r, im: model.init({'params': r}, im,
+                                         train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
+    from pfst_tpu.core.checkpoint import save_checkpoint
+    ckpt = save_checkpoint(str(tmp_path / 'wd'), 1, jax.device_get(v))
+
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    cal = importlib.import_module('calibrate_int8')
+    scales = str(tmp_path / 'scales.json')
+    cal.main([str(cfg_py), ckpt, '-o', scales, '-n', '2'])
+    assert len(json.load(open(scales))) > 3
+
+    t = importlib.import_module('test')
+    monkeypatch.setattr(jax, 'local_device_count', lambda: 1)
+    res_q = t.main([str(cfg_py), ckpt, '--eval', 'mIoU',
+                    '--quant-int8', '--act-scales', scales])
+    res_fp = t.main([str(cfg_py), ckpt, '--eval', 'mIoU'])
+    assert abs(res_fp['mIoU'] - res_q['mIoU']) < 2.0, (res_fp, res_q)
+
+
+def test_tools_test_cli_int8_rejects_multidevice(tmp_path):
+    """--quant-int8 under a multi-device mesh exits with the guard
+    (the interceptor retrace is single-device only)."""
+    import sys
+    import os.path as osp
+    import importlib
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
+    t = importlib.import_module('test')
+    cfg_py = tmp_path / 'cfg.py'
+    cfg_py.write_text(f'model = {tiny_model_cfg()!r}\n'
+                      'data = dict(test=dict(type="ISPRSDataset", '
+                      'data_root=".", img_dir=".", pipeline=[]))\n')
+    assert jax.local_device_count() > 1
+    with pytest.raises(SystemExit, match='single-device'):
+        t.main([str(cfg_py), 'nonexistent', '--quant-int8'])

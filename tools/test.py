@@ -39,6 +39,10 @@ def parse_args(args=None):
     parser.add_argument('--quant-int8', action='store_true',
                         help='int8-PTQ convolutions (MXU s8 mode); '
                              'see pfst_tpu/ops/quant.py')
+    parser.add_argument('--act-scales', default=None,
+                        help='static activation-scale JSON from '
+                             'tools/calibrate_int8.py (default: '
+                             'dynamic in-trace scales)')
     parser.add_argument('--launcher', default='none')
     parser.add_argument('--local_rank', type=int, default=0)
     return parser.parse_args(args)
@@ -76,6 +80,9 @@ def main(args=None):
     from pfst_tpu.datasets import build_dataloader, build_dataset
     from pfst_tpu.models import build_segmentor
 
+    if args.quant_int8 and jax.local_device_count() > 1:
+        raise SystemExit('--quant-int8 is single-device only')
+
     dataset = build_dataset({**cfg.data['test'], 'test_mode': True})
     loader = build_dataloader(dataset, 1, cfg.data.get(
         'workers_per_gpu', 2), shuffle=False)
@@ -91,9 +98,11 @@ def main(args=None):
         else single_gpu_test
     extra = {}
     if args.quant_int8:
-        if test_fn is multi_gpu_test:
-            raise SystemExit('--quant-int8 is single-device only')
         extra['quant_int8'] = True
+        if args.act_scales:
+            import json as _json
+            with open(args.act_scales) as f:
+                extra['act_scales'] = _json.load(f)
     results = test_fn(
         model, variables, loader,
         pre_eval=bool(args.eval) and not args.format_only,
