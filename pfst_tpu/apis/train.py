@@ -383,6 +383,13 @@ def train_segmentor(cfg,
         start_iter = int(state.step)
         print_log(f'resumed from {resume_from} @ iter {start_iter}',
                   logger)
+        if start_iter > 0:
+            # deterministic data resume: position the seeded stream at
+            # the batch this iteration consumes in an uninterrupted
+            # run (the reference replays each epoch from its start)
+            loader.set_position(start_iter)
+            batch_iter = iter(loader)
+            first = next(batch_iter)
     else:
         load_from = load_from or cfg.get('load_from')
         if not load_from:

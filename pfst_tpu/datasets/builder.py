@@ -140,6 +140,7 @@ class DataLoader:
                 'PFST_DATA_PROCESSES', '') not in ('', '0', 'false')
         self.use_processes = use_processes
         self._pool = None
+        self._skip_batches = 0
 
     def __len__(self):
         n = len(self.dataset) // self.world_size
@@ -155,6 +156,26 @@ class DataLoader:
         else:
             idx = np.arange(n)
         return idx[self.rank::self.world_size]
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def set_position(self, batch_idx: int) -> None:
+        """Fast-forward the seeded stream so the next batch yielded is
+        global batch ``batch_idx`` (counted from iteration 0):
+        deterministic data resume after a checkpoint restore.  The
+        reference replays each epoch from its start on resume (mmcv
+        IterLoader keeps no intra-epoch cursor); here the epoch
+        permutations are pure functions of ``seed + epoch``, so the
+        skip costs nothing — no samples are produced and discarded."""
+        if batch_idx < 0:
+            raise ValueError(f'negative batch_idx {batch_idx}')
+        bpe = max(self.batches_per_epoch(), 1)
+        self.epoch = batch_idx // bpe
+        self._skip_batches = batch_idx % bpe
 
     def _get_pool(self):
         """Lazily created worker pool, persistent across epochs.
@@ -190,6 +211,8 @@ class DataLoader:
         indices = self._epoch_indices(epoch)
         nb = len(indices) // self.batch_size if self.drop_last else \
             math.ceil(len(indices) / self.batch_size)
+        first_batch = self._skip_batches  # set_position within-epoch
+        self._skip_batches = 0
         q: 'queue.Queue' = queue.Queue(maxsize=max(2, self.num_workers))
         stop = threading.Event()
         pool = self._get_pool()
@@ -209,7 +232,7 @@ class DataLoader:
 
         def produce():
             try:
-                for bi in range(nb):
+                for bi in range(first_batch, nb):
                     if stop.is_set():
                         return
                     sel = indices[bi * self.batch_size:(bi + 1) *

@@ -351,3 +351,35 @@ def test_tta_ratio_mode_without_img_scale():
                         ori_filename=None))
     shapes = [tuple(v.shape[:2]) for v in out['img']]
     assert shapes == [(16, 24), (32, 48)], shapes
+
+
+def test_dataloader_set_position_resumes_stream():
+    """set_position(k) makes the next batch equal batch k of an
+    uninterrupted run — across epoch boundaries and with shuffling —
+    so checkpoint resume continues the exact data stream instead of
+    replaying the epoch (apis/train.py resume path)."""
+    from pfst_tpu.datasets.builder import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {'x': np.asarray([i], np.int64)}
+
+    def stream(n, skip=None):
+        loader = DataLoader(DS(), samples_per_gpu=2, workers_per_gpu=1,
+                            shuffle=True, seed=5, infinite=True)
+        if skip is not None:
+            loader.set_position(skip)
+        it = iter(loader)
+        out = [tuple(next(it)['x'].ravel()) for _ in range(n)]
+        it.close()
+        return out
+
+    full = stream(12)                      # 2.4 epochs of 5 batches
+    assert stream(8, skip=4) == full[4:]   # resume within epoch 0
+    assert stream(5, skip=7) == full[7:]   # resume inside epoch 1
+    assert stream(2, skip=10) == full[10:]  # resume at epoch boundary
+    # shuffling is real: epochs see different permutations
+    assert full[:5] != full[5:10]
