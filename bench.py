@@ -156,9 +156,38 @@ def bench_train_step():
             return {'train_bench_error': f'{type(e2).__name__}: {e2}'}
 
 
+def _init_watchdog(seconds: float):
+    """The tunneled TPU backend can wedge on init (device enumeration
+    hangs when the tunnel is down).  The driver needs ONE JSON line no
+    matter what — emit an error record and exit if the backend doesn't
+    come up in time.  Disarm by setting the returned event."""
+    import os
+    import threading
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                'metric': 'fused infer+pseudo-label 512^2 '
+                          'patches/sec/chip',
+                'value': 0.0, 'unit': 'patches/sec/chip',
+                'vs_baseline': 0.0,
+                'error': f'backend init exceeded {seconds:.0f}s '
+                         '(TPU tunnel down?)'}), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
+    import os
     from pfst_tpu.utils.set_env import setup_environment
     setup_environment()
+    watchdog = _init_watchdog(float(os.environ.get(
+        'PFST_BENCH_INIT_TIMEOUT', '900')))
+    jax.devices()  # touch the backend: this is the call that hangs
+    watchdog.set()
     fn, variables, img = build()
     flops = _program_flops(fn, variables, img)
     # vary the input every step and force a host transfer at the end:
