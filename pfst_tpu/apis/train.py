@@ -553,11 +553,17 @@ def train_segmentor(cfg,
     repeat_first = os.environ.get('PFST_REPEAT_FIRST_BATCH') == '1'
     device_batch = put(first)
     t_data = 0.0
+    # quantization-aware fine-tuning: cfg.qat fake-quants every conv/
+    # dense during the step's trace (ops/quant.py:qat_training) so the
+    # trained weights deploy through tools/test.py --quant-int8
+    from ..ops.quant import qat_context_from_cfg
+    qat_ctx = qat_context_from_cfg(cfg)
     t_last = time.time()
     for it in range(start_iter, max_iters):
         step_rng = jax.random.fold_in(rng, it)
-        state, log_vars, vis_states = step_fn(state, device_batch,
-                                              step_rng)
+        with qat_ctx():
+            state, log_vars, vis_states = step_fn(state, device_batch,
+                                                  step_rng)
         ctx['iter'] = it + 1
         ctx['state'] = state
         if not repeat_first:

@@ -260,3 +260,98 @@ def test_tools_test_cli_int8_rejects_multidevice(tmp_path):
     assert jax.local_device_count() > 1
     with pytest.raises(SystemExit, match='single-device'):
         t.main([str(cfg_py), 'nonexistent', '--quant-int8'])
+
+
+def test_qat_forward_matches_int8_program():
+    """Fake-quant (QAT) forward numerics equal the deployed int8
+    program: conv linearity makes conv(q_x*a_s, q_w*w_s) ==
+    conv(q_x, q_w)*a_s*w_s exact up to float rounding."""
+    from pfst_tpu.ops.quant import qat_training
+    m = ConvModule(out_channels=16, kernel_size=3, padding=1,
+                   norm_cfg=None, act_cfg=dict(type='none'))
+    x = _rand((2, 16, 16, 8), seed=4)
+    v = m.init(jax.random.PRNGKey(1), x)
+    with int8_inference(skip=()):
+        y_int8 = m.apply(v, x)
+    with qat_training(skip=()):
+        y_qat = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_int8),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_qat_gradients_flow_straight_through():
+    """STE: gradients under fake-quant are finite, nonzero, and track
+    the unquantized gradient closely (quantization noise is small
+    relative to the signal on smooth losses)."""
+    from pfst_tpu.ops.quant import qat_training
+    m = ConvModule(out_channels=8, kernel_size=3, padding=1,
+                   norm_cfg=None, act_cfg=dict(type='none'))
+    x = _rand((2, 12, 12, 4), seed=2)
+    v = m.init(jax.random.PRNGKey(2), x)
+    tgt = _rand((2, 12, 12, 8), seed=3)
+
+    def loss(params, quant):
+        def f():
+            y = m.apply({'params': params}, x)
+            return jnp.mean((y - tgt) ** 2)
+        if quant:
+            with qat_training(skip=()):
+                return f()
+        return f()
+
+    g_fp = jax.grad(lambda p: loss(p, False))(v['params'])
+    g_q = jax.grad(lambda p: loss(p, True))(v['params'])
+    for a, b in zip(jax.tree.leaves(g_fp), jax.tree.leaves(g_q)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)) and np.abs(b).max() > 0
+        # direction agreement: cosine similarity of the grads
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.95, cos
+
+
+def test_qat_train_step_learns(tiny_seg):
+    """A few SGD steps under qat_training reduce the loss — the whole
+    segmentor trains through the fake-quant interceptor."""
+    from pfst_tpu.apis.train import SupervisedTrainer
+    from pfst_tpu.core.optimizers import build_optimizer
+    from pfst_tpu.ops.quant import qat_training
+    model, _, _ = tiny_seg
+    algo = SupervisedTrainer(model)
+    tx = build_optimizer(dict(type='SGD', lr=0.2, momentum=0.9),
+                         None, 100)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    step = algo.make_train_step(tx, [0.0] * 3, [1.0] * 3, donate=False)
+    rs = np.random.RandomState(5)
+    batch = {
+        'img': jnp.asarray(rs.randn(2, 32, 32, 3), jnp.float32),
+        'gt_semantic_seg': jnp.asarray(rs.randint(0, 6, (2, 32, 32)),
+                                       jnp.int32),
+    }
+    losses = []
+    with qat_training():
+        for i in range(15):
+            state, lv, _ = step(state, batch,
+                                jax.random.fold_in(
+                                    jax.random.PRNGKey(1), i))
+            losses.append(float(lv['loss']))
+    # tiny channels + BN warmup learn slowly; the point is that the
+    # fake-quant step trains at the same pace as the plain step does
+    # at this lr (measured: plain drops ~0.01 over 15 steps too)
+    assert losses[-1] < losses[0] - 0.008, losses
+
+
+def test_qat_context_from_cfg():
+    import contextlib
+    from pfst_tpu.ops.quant import qat_context_from_cfg, qat_training
+    assert qat_context_from_cfg({}) is contextlib.nullcontext
+    assert qat_context_from_cfg(
+        {'qat': dict(enabled=False)}) is contextlib.nullcontext
+    assert qat_context_from_cfg(object()) is contextlib.nullcontext
+    ctx = qat_context_from_cfg({'qat': True})
+    with ctx():
+        pass  # enters/exits cleanly
+    ctx2 = qat_context_from_cfg(
+        {'qat': dict(skip=('*decode*',),
+                     act_scales={'a/b': 3.0})})
+    with ctx2():
+        pass
