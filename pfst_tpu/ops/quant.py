@@ -241,13 +241,26 @@ def qat_context_from_cfg(cfg):
 
 
 def calibrate_act_scales(apply_fn, batches,
-                         skip: Iterable[str] = DEFAULT_SKIP
+                         skip: Iterable[str] = DEFAULT_SKIP,
+                         percentile: float = 100.0
                          ) -> Dict[str, float]:
     """Run ``apply_fn(batch)`` eagerly over ``batches`` recording the
     running ``max|input|`` per conv/dense path.  The returned table
     feeds :func:`int8_inference` to drop the per-layer dynamic
-    reduction."""
+    reduction.
+
+    ``percentile`` < 100 clips each batch's statistic to that
+    percentile of ``|x|`` (running max across batches) — the standard
+    outlier-robust PTQ recipe: one huge activation otherwise wastes
+    most of the 8-bit grid on a value that occurs once."""
     scales: Dict[str, float] = {}
+
+    def _stat(x):
+        ax = jnp.abs(x)
+        if percentile >= 100.0:
+            return float(jax.device_get(jnp.max(ax)))
+        return float(jax.device_get(
+            jnp.percentile(ax.astype(jnp.float32), percentile)))
 
     def recorder(next_fun, args, kwargs, context):
         mod = context.module
@@ -255,8 +268,7 @@ def calibrate_act_scales(apply_fn, batches,
                 and context.method_name == '__call__'
                 and not _should_skip(_conv_path(mod), skip)):
             p = _conv_path(mod)
-            m = float(jax.device_get(jnp.max(jnp.abs(args[0]))))
-            scales[p] = max(scales.get(p, 0.0), m)
+            scales[p] = max(scales.get(p, 0.0), _stat(args[0]))
         return next_fun(*args, **kwargs)
 
     with nn.intercept_methods(recorder):

@@ -355,3 +355,23 @@ def test_qat_context_from_cfg():
                      act_scales={'a/b': 3.0})})
     with ctx2():
         pass
+
+
+def test_calibrate_percentile_clips_outliers():
+    """percentile<100 ignores a one-off activation spike; 100 == max."""
+    m = ConvModule(out_channels=4, kernel_size=1, norm_cfg=None,
+                   act_cfg=dict(type='none'))
+    x = _rand((1, 8, 8, 4), seed=9)
+    x = x.at[0, 0, 0, 0].set(1000.0)  # outlier
+    v = m.init(jax.random.PRNGKey(0), x)
+    apply_fn = lambda b: m.apply(v, b)  # noqa: E731
+    exact = calibrate_act_scales(apply_fn, [x], skip=())
+    robust = calibrate_act_scales(apply_fn, [x], skip=(),
+                                  percentile=99.0)
+    (k,) = [k for k in exact if 'conv' in k.lower()] or list(exact)
+    assert exact[k] == 1000.0
+    assert robust[k] < 10.0
+    np.testing.assert_allclose(
+        robust[k],
+        np.percentile(np.abs(np.asarray(x, np.float32)), 99.0),
+        rtol=1e-5)

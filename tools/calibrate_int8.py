@@ -29,6 +29,9 @@ def parse_args(args=None):
                         'only useful for smoke tests)')
     p.add_argument('-o', '--out', default='act_scales.json')
     p.add_argument('-n', '--num-images', type=int, default=8)
+    p.add_argument('-p', '--percentile', type=float, default=100.0,
+                   help='clip each batch statistic to this percentile '
+                        'of |x| (outlier-robust; 100 = exact max)')
     return p.parse_args(args)
 
 
@@ -71,7 +74,7 @@ def main(args=None):
 
     scales = calibrate_act_scales(
         lambda b: model.apply(variables, b, method=model.inference),
-        batches)
+        batches, percentile=args.percentile)
     with open(args.out, 'w') as f:
         json.dump(scales, f, indent=1, sort_keys=True)
     print(f'{len(scales)} scales over {len(batches)} images '
