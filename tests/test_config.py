@@ -31,8 +31,14 @@ def test_config_builds_train_model(path):
                          ids=[osp.basename(p) for p in LEAF_CONFIGS])
 def test_config_merge_and_override(path):
     cfg = Config.fromfile(path)
-    assert cfg.optimizer['lr'] == 6e-05
-    assert cfg.runner['max_iters'] == 40000
+    if 'qat' in osp.basename(path):
+        # the QAT leaf is a deliberate short fine-tune of its base
+        assert cfg.optimizer['lr'] == 6e-06
+        assert cfg.runner['max_iters'] == 4000
+        assert cfg.qat['enabled'] is True
+    else:
+        assert cfg.optimizer['lr'] == 6e-05
+        assert cfg.runner['max_iters'] == 40000
     cfg.merge_from_dict({'optimizer.lr': 1e-4,
                          'model.decode_head.num_classes': 7})
     assert cfg.optimizer['lr'] == 1e-4
