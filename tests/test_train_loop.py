@@ -259,3 +259,13 @@ def test_load_from_warm_start(tmp_path):
         np.asarray(jax.tree.leaves(
             loaded2.params['backbone_mod'])[0]),
         np.asarray(jax.tree.leaves(donor.params['backbone_mod'])[0]))
+
+
+def test_train_loop_qat_wiring(data_root):
+    """cfg.qat=True routes the real loop's step trace through
+    qat_training (fake-quant convs, ops/quant.py) end-to-end."""
+    cfg = _cfg(data_root, with_uda=False)
+    cfg['qat'] = True
+    from pfst_tpu.apis import train_segmentor
+    state = train_segmentor(cfg, work_dir=None, validate=False, seed=0)
+    assert int(state.step) == 3
