@@ -10,6 +10,7 @@ mesh (``pfst_tpu/parallel/mesh.py``).
 """
 from __future__ import annotations
 
+import logging
 import os
 import os.path as osp
 import time
@@ -354,7 +355,8 @@ def train_segmentor(cfg,
     opt_cfg = dict(cfg.get('optimizer_config') or {})
     tx = build_optimizer(dict(cfg.optimizer), cfg.get('lr_config'),
                          max_iters, opt_cfg.get('grad_clip'),
-                         opt_cfg.get('cumulative_iters', 1))
+                         opt_cfg.get('cumulative_iters', 1),
+                         opt_cfg.get('skip_nonfinite', 0))
     norm = _img_norm_from_pipeline(cfg)
 
     batch_iter = iter(loader)
@@ -591,6 +593,16 @@ def train_segmentor(cfg,
                 f'time: {dt / log_interval:.3f}s '
                 f'data: {t_data / log_interval:.3f}s  {msg}', logger)
             t_last, t_data = time.time(), 0.0
+            bad = [k for k, v in lazy_vars.items()
+                   if not np.isfinite(float(v))]
+            if bad:
+                # loud, every log interval — a silent NaN destroys the
+                # checkpoint; optimizer_config.skip_nonfinite=N makes
+                # the optimizer drop such updates instead
+                print_log(
+                    f'NON-FINITE loss values at iter {it + 1}: '
+                    f'{bad} — set optimizer_config.skip_nonfinite to '
+                    'drop bad updates', logger, level=logging.WARNING)
         # hooks fire EVERY iteration (mmcv cadence) and self-gate on
         # their own intervals; log-var transfer stays lazy off-interval
         try:

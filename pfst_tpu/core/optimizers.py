@@ -114,7 +114,8 @@ def build_optimizer(optimizer_cfg: dict,
                     lr_config: Optional[dict] = None,
                     max_iters: int = 40000,
                     grad_clip: Optional[dict] = None,
-                    cumulative_iters: int = 1):
+                    cumulative_iters: int = 1,
+                    skip_nonfinite: int = 0):
     """Build an optax GradientTransformation from reference-style cfg.
 
     ``cumulative_iters`` > 1 (mmcv ``GradientCumulativeOptimizerHook``
@@ -125,6 +126,15 @@ def build_optimizer(optimizer_cfg: dict,
     per-iteration memory. Iter-indexed schedules (poly over
     ``runner.max_iters``) keep reference semantics: the inner schedule
     is indexed by the micro-iteration at which each update applies.
+
+    ``skip_nonfinite`` > 0 (``optimizer_config =
+    dict(skip_nonfinite=N)``) wraps everything in
+    ``optax.apply_if_finite``: an iteration whose gradients contain
+    NaN/Inf leaves params and optimizer state untouched (bad batch,
+    bf16 overflow) instead of poisoning the run; after N consecutive
+    non-finite iterations the update propagates so the failure is
+    visible. Neither mmcv's OptimizerHook nor the reference has an
+    equivalent — a NaN there silently destroys the checkpoint.
     """
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop('type', 'AdamW')
@@ -207,6 +217,10 @@ def build_optimizer(optimizer_cfg: dict,
         # clip applies to the accumulated mean gradient (the reference
         # hook also clips at step time, mmcv OptimizerHook semantics)
         tx = optax.MultiSteps(tx, every_k_schedule=cum_k)
+    if skip_nonfinite:
+        # outermost: non-finite grads never reach the inner update, so
+        # clip/MultiSteps-accumulator/moment state all stay clean
+        tx = optax.apply_if_finite(tx, int(skip_nonfinite))
     return tx
 
 
