@@ -104,3 +104,29 @@ def test_deterministic_across_requests(server):
     _, b1 = _post(server + '/predictions/m', _png(img))
     _, b2 = _post(server + '/predictions/m', _png(img))
     assert b1 == b2
+
+
+def test_serve_quant_int8_roundtrip():
+    """--quant-int8 serving: the int8-traced program answers requests
+    and (here, with a random-init tiny model) returns a valid label
+    map; act_scales plumb through build_server."""
+    import serve
+    srv = serve.build_server(_test_cfg(), port=0, quant_int8=True,
+                             act_scales={'no/such/layer': 1.0})
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f'http://127.0.0.1:{srv.server_address[1]}'
+        img = np.random.RandomState(3).randint(
+            0, 255, (32, 32, 3), np.uint8)
+        ok, buf = cv2.imencode('.png', img)
+        req = urllib.request.Request(url + '/predictions/m',
+                                     data=buf.tobytes(), method='POST')
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            body = r.read()
+        mask = cv2.imdecode(np.frombuffer(body, np.uint8),
+                            cv2.IMREAD_UNCHANGED)
+        assert mask.shape == (32, 32) and mask.max() < 6
+    finally:
+        srv.shutdown()

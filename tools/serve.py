@@ -42,8 +42,9 @@ class Predictor:
     """Checkpointed segmentor with a shape-keyed jit cache."""
 
     def __init__(self, config, checkpoint=None, seed=0,
-                 quant_int8=False):
+                 quant_int8=False, act_scales=None):
         self.quant_int8 = quant_int8
+        self.act_scales = act_scales
         from pfst_tpu.apis.inference import init_segmentor
         self.model, self.variables = init_segmentor(config, checkpoint)
         if self.variables is None:  # smoke-serving without a checkpoint
@@ -72,7 +73,7 @@ class Predictor:
             # the int8 interceptor must be active at TRACE time; jit
             # caches per shape so only the first call re-traces
             from pfst_tpu.ops.quant import int8_inference
-            with int8_inference():
+            with int8_inference(act_scales=self.act_scales):
                 return fn(variables, batch_img)
         return fn(variables, batch_img)
 
@@ -155,8 +156,9 @@ def make_handler(predictor: Predictor):
 
 
 def build_server(config, checkpoint=None, host='127.0.0.1', port=8080,
-                 quant_int8=False):
-    predictor = Predictor(config, checkpoint, quant_int8=quant_int8)
+                 quant_int8=False, act_scales=None):
+    predictor = Predictor(config, checkpoint, quant_int8=quant_int8,
+                          act_scales=act_scales)
     return ThreadingHTTPServer((host, port), make_handler(predictor))
 
 
@@ -168,13 +170,20 @@ def parse_args(args=None):
     p.add_argument('--port', type=int, default=8080)
     p.add_argument('--quant-int8', action='store_true',
                    help='int8-PTQ convolutions (pfst_tpu/ops/quant.py)')
+    p.add_argument('--act-scales', default=None,
+                   help='static activation-scale JSON from '
+                        'tools/calibrate_int8.py')
     return p.parse_args(args)
 
 
 def main(args=None):
     args = parse_args(args)
+    scales = None
+    if args.act_scales:
+        scales = json.load(open(args.act_scales))
     server = build_server(args.config, args.checkpoint, args.host,
-                          args.port, quant_int8=args.quant_int8)
+                          args.port, quant_int8=args.quant_int8,
+                          act_scales=scales)
     print(f'serving on http://{args.host}:{server.server_address[1]}',
           file=sys.stderr)
     try:
