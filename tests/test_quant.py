@@ -309,6 +309,7 @@ def test_qat_gradients_flow_straight_through():
         assert cos > 0.95, cos
 
 
+@pytest.mark.slow
 def test_qat_train_step_learns(tiny_seg):
     """A few SGD steps under qat_training reduce the loss — the whole
     segmentor trains through the fake-quant interceptor."""
