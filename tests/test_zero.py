@@ -291,3 +291,41 @@ def test_uda_pfgst_step_under_zero_matches_single_device():
     for tree in (s3.params, s3.ema_params):
         st, rep = zero.tree_bytes(tree)
         assert st < 0.5 * rep, (st, rep)
+
+
+def test_zero_composes_with_multisteps_and_nonfinite_guard(setup):
+    """The wrapped optimizer (cumulative_iters + skip_nonfinite adds a
+    param-shaped MultiSteps accumulator and ApplyIfFinite counters to
+    opt_state) still partitions and matches the single-device step:
+    iter 1 accumulates (params frozen), iter 2 applies the mean."""
+    from pfst_tpu.core.optimizers import build_optimizer
+
+    algo, _, _ = setup
+    tx = build_optimizer(dict(type='AdamW', lr=1e-3,
+                              weight_decay=0.01),
+                         None, 100, cumulative_iters=2,
+                         skip_nonfinite=2)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    batch, rng = _batch(), jax.random.PRNGKey(7)
+
+    ref_step = algo.make_train_step(tx, MEAN, STD, donate=False)
+    r1, _, _ = ref_step(state, batch, rng)
+    r2, _, _ = ref_step(r1, batch, jax.random.fold_in(rng, 1))
+
+    mesh = get_mesh()
+    z_state = zero.shard_state(state, mesh)
+    step = zero.make_zero_train_step(algo, tx, MEAN, STD, mesh)
+    sb = zero.shard_batch(batch, mesh)
+    z1, _, _ = step(z_state, sb, rng)
+    # accumulation iteration: params frozen on both paths
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(z1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    z2, _, _ = step(z1, sb, jax.random.fold_in(rng, 1))
+    for r, t in zip(jax.tree.leaves(r2.params),
+                    jax.tree.leaves(z2.params)):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(t),
+                                   rtol=2e-4, atol=2e-5)
+    # the accumulator tree partitioned like the moments
+    stored, replicated = zero.opt_state_bytes(z2)
+    assert stored < 0.5 * replicated, (stored, replicated)
