@@ -29,10 +29,16 @@ def build_lr_schedule(lr_config: Optional[dict], base_lr: float,
     power = cfg.get('power', 1.0)
     min_lr = cfg.get('min_lr', 0.0)
 
+    policy = str(policy)
+    policy = {'cosineannealing': 'CosineAnnealing'}.get(
+        policy.lower(), policy.lower()
+        if policy.lower() in ('poly', 'fixed', 'step', 'exp', 'inv',
+                              'linear') else policy)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
+        progress = jnp.clip(step / max_iters, 0.0, 1.0)
         if policy == 'poly':
-            progress = jnp.clip(step / max_iters, 0.0, 1.0)
             lr = (base_lr - min_lr) * (1.0 - progress)**power + min_lr
         elif policy == 'fixed':
             lr = jnp.asarray(base_lr)
@@ -40,6 +46,27 @@ def build_lr_schedule(lr_config: Optional[dict], base_lr: float,
             gamma = cfg.get('gamma', 0.1)
             milestones = jnp.asarray(cfg['step'], jnp.float32)
             lr = base_lr * gamma**jnp.sum(step >= milestones)
+        elif policy == 'exp':
+            # mmcv ExpLrUpdater: lr * gamma**progress_iters
+            lr = base_lr * cfg.get('gamma', 0.99)**step
+        elif policy == 'inv':
+            # mmcv InvLrUpdater: lr * (1 + gamma*iter)^-power
+            lr = base_lr * (1.0 + cfg.get('gamma', 0.1)
+                            * step)**(-power)
+        elif policy == 'CosineAnnealing':
+            # mmcv CosineAnnealingLrUpdater: cosine from base to
+            # min_lr (or base*min_lr_ratio) over max_iters
+            target = cfg.get('min_lr')
+            if target is None:
+                target = base_lr * cfg.get('min_lr_ratio', 0.0)
+            lr = target + 0.5 * (base_lr - target) * (
+                1.0 + jnp.cos(jnp.pi * progress))
+        elif policy == 'linear':
+            # mmcv LinearAnnealingLrUpdater
+            target = cfg.get('min_lr')
+            if target is None:
+                target = base_lr * cfg.get('min_lr_ratio', 0.0)
+            lr = base_lr + (target - base_lr) * progress
         else:
             raise ValueError(f'unsupported lr policy {policy}')
         if warmup == 'linear' and warmup_iters > 0:

@@ -82,3 +82,38 @@ def test_finite_path_matches_unwrapped():
                                    np.asarray(up['w']), rtol=1e-6,
                                    atol=1e-9)
         p = _apply(up, p)
+
+
+def test_lr_policies_match_reference_formulas():
+    """mmcv LrUpdater family (the reference's lr_config surface):
+    exp / inv / CosineAnnealing / linear alongside poly/fixed/step."""
+    from pfst_tpu.core.optimizers import build_lr_schedule
+    base, T = 0.1, 100
+
+    s = build_lr_schedule(dict(policy='exp', gamma=0.95), base, T)
+    np.testing.assert_allclose(float(s(10)), 0.1 * 0.95**10, rtol=1e-5)
+
+    s = build_lr_schedule(dict(policy='inv', gamma=0.1, power=0.75),
+                          base, T)
+    np.testing.assert_allclose(float(s(20)),
+                               0.1 * (1 + 0.1 * 20)**-0.75, rtol=1e-5)
+
+    s = build_lr_schedule(dict(policy='CosineAnnealing', min_lr=0.01),
+                          base, T)
+    np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(T)), 0.01, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(s(50)), 0.01 + 0.5 * 0.09, rtol=1e-5)  # half-way cosine
+
+    s = build_lr_schedule(dict(policy='CosineAnnealing',
+                               min_lr_ratio=0.1), base, T)
+    np.testing.assert_allclose(float(s(T)), 0.01, rtol=1e-5)
+
+    s = build_lr_schedule(dict(policy='linear', min_lr=0.0), base, T)
+    np.testing.assert_allclose(float(s(25)), 0.075, rtol=1e-5)
+
+    # warmup composes with every policy
+    s = build_lr_schedule(dict(policy='CosineAnnealing', min_lr=0.0,
+                               warmup='linear', warmup_iters=10,
+                               warmup_ratio=0.1), base, T)
+    assert float(s(0)) < float(s(5)) < float(s(10))
