@@ -238,11 +238,12 @@ def main():
 
 
 def bench_int8(fn, variables, img):
-    """Optional int8-PTQ A/B of the same fused program
-    (PFST_BENCH_INT8=1 to enable; see tools/int8_microbench.py for the
-    standalone version with accuracy checks)."""
+    """Int8-PTQ A/B of the same fused program (on by default so the
+    record self-documents the s8 lever; PFST_BENCH_INT8=0 to skip —
+    see tools/int8_microbench.py for the standalone version with
+    accuracy checks)."""
     import os
-    if os.environ.get('PFST_BENCH_INT8', '0') != '1':
+    if os.environ.get('PFST_BENCH_INT8', '1') == '0':
         return {}
     try:
         from pfst_tpu.ops.quant import int8_inference
