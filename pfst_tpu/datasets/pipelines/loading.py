@@ -80,7 +80,15 @@ if os.environ.get('PFST_DECODE_CACHE_MB'):
 
 
 def imread(path: str, color: bool = True, unchanged: bool = False):
-    """cv2 read keeping mmcv's BGR convention for color images."""
+    """cv2 read keeping mmcv's BGR convention for color images.
+
+    Directories packed by ``tools/pack_dataset.py`` are served from
+    the mmap blob (no decode, shared page cache across workers); see
+    ``pipelines/packing.py``."""
+    from . import packing
+    packed = packing.lookup(path, color, unchanged)
+    if packed is not None:
+        return packed
     cache, key = _decode_cache, (path, color, unchanged)
     if cache is not None:
         img = cache.get(key)
