@@ -141,6 +141,10 @@ class DataLoader:
         self.use_processes = use_processes
         self._pool = None
         self._skip_batches = 0
+        # buffer-churn guard for the big sample/batch arrays (see
+        # utils/set_env.py:tune_malloc — idempotent, env-gated)
+        from ..utils.set_env import tune_malloc
+        tune_malloc()
 
     def __len__(self):
         n = len(self.dataset) // self.world_size

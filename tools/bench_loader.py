@@ -43,6 +43,14 @@ def bench(batch, workers, use_processes, n_batches):
             continue
         n += 1
     dt = time.perf_counter() - t0
+    # quiesce before the next config: close the iterator (stops the
+    # producer via its finally) and give worker threads time to park —
+    # forking the NEXT config's process pool while this config's
+    # threads are mid-allocation can deadlock the forked child
+    # (fork+threads hazard; the training CLI never mixes modes in one
+    # process, only this benchmark does)
+    it.close()
+    time.sleep(1.5)
     return dt / n_batches
 
 
