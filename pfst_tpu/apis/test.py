@@ -148,9 +148,17 @@ def _single_gpu_test_body(model, variables, data_loader, pre_eval,
 
 def multi_gpu_test(model, variables, data_loader, pre_eval=True,
                    format_only: bool = False, progress: bool = True,
-                   devices=None, **kwargs):
+                   devices=None, quant_int8: bool = False,
+                   act_scales=None, **kwargs):
     """Device-sharded eval (the reference's multi-GPU test,
     ``apis/test.py:194-287``, redesigned mesh-first).
+
+    ``quant_int8``/``act_scales``: as in :func:`single_gpu_test` — the
+    interceptor acts at trace time, and every program here is traced
+    per call, so the sharded int8 eval needs no other changes.  Note
+    the bit-parity promise below is an fp32 property; under int8 the
+    dequant multiplies fuse differently per program shape and
+    borderline argmax ties may flip (metric-level agreement tested).
 
     Image views are bucketed by input shape; each full bucket of
     ``n_devices`` views is stacked into one batch, placed with the
@@ -165,6 +173,14 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
     cross-host run shards the dataset by ``jax.process_index()`` in
     the loader and gathers host-side.
     """
+    if quant_int8:
+        from ..ops.quant import int8_inference
+        with int8_inference(act_scales=act_scales):
+            return multi_gpu_test(model, variables, data_loader,
+                                  pre_eval=pre_eval,
+                                  format_only=format_only,
+                                  progress=progress, devices=devices,
+                                  **kwargs)
     if kwargs.get('return_states'):
         # feature-state dumps are a single-device diagnostic path
         return single_gpu_test(model, variables, data_loader,

@@ -245,21 +245,57 @@ def test_tools_test_cli_int8_act_scales(tmp_path, monkeypatch):
     assert abs(res_fp['mIoU'] - res_q['mIoU']) < 2.0, (res_fp, res_q)
 
 
-def test_tools_test_cli_int8_rejects_multidevice(tmp_path):
-    """--quant-int8 under a multi-device mesh exits with the guard
-    (the interceptor retrace is single-device only)."""
-    import sys
-    import os.path as osp
-    import importlib
-    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', 'tools'))
-    t = importlib.import_module('test')
-    cfg_py = tmp_path / 'cfg.py'
-    cfg_py.write_text(f'model = {tiny_model_cfg()!r}\n'
-                      'data = dict(test=dict(type="ISPRSDataset", '
-                      'data_root=".", img_dir=".", pipeline=[]))\n')
+def test_multi_device_int8_matches_single(tmp_path):
+    """quant_int8 through the SHARDED eval path: every program is
+    traced per call, so the int8 interceptor applies across the mesh
+    and the metric equals the single-device int8 eval (bit-parity is
+    an fp32-only property: quantized dequant multiplies fuse
+    differently per program shape)."""
+    import os
+    import cv2
+    from pfst_tpu.apis import multi_gpu_test, single_gpu_test
+    from pfst_tpu.datasets import build_dataloader, build_dataset
+    root = tmp_path / 'mq'
+    rs = np.random.RandomState(11)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(6):
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 255, (40, 40, 3), np.uint8))
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 7, (40, 40)).astype(np.uint8))
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize',
+                      mean=[123.675, 116.28, 103.53],
+                      std=[58.395, 57.12, 57.375], to_rgb=True),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img'])])]
+    ds = build_dataset(dict(
+        type='ISPRSDataset', data_root=str(root),
+        img_dir='img_dir/val', ann_dir='ann_dir/val',
+        gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+        pipeline=pipeline, test_mode=True))
+    loader = build_dataloader(ds, 1, 1, shuffle=False)
+    model = build_segmentor(tiny_model_cfg())
+    v = jax.jit(lambda r, im: model.init({'params': r}, im,
+                                         train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
     assert jax.local_device_count() > 1
-    with pytest.raises(SystemExit, match='single-device'):
-        t.main([str(cfg_py), 'nonexistent', '--quant-int8'])
+    res_s = single_gpu_test(model, v, loader, pre_eval=True,
+                            progress=False, quant_int8=True)
+    res_m = multi_gpu_test(model, v, loader, pre_eval=True,
+                           progress=False, quant_int8=True)
+    # int8 dequant multiplies fuse differently in the sharded
+    # on-device-histogram program, so borderline argmax ties may flip
+    # (unlike fp32, which is bit-identical across the two paths) —
+    # assert at the metric level
+    m_s = ds.evaluate(res_s, metric='mIoU')['mIoU']
+    m_m = ds.evaluate(res_m, metric='mIoU')['mIoU']
+    assert abs(m_s - m_m) < 0.5, (m_s, m_m)
 
 
 def test_qat_forward_matches_int8_program():

@@ -80,9 +80,6 @@ def main(args=None):
     from pfst_tpu.datasets import build_dataloader, build_dataset
     from pfst_tpu.models import build_segmentor
 
-    if args.quant_int8 and jax.local_device_count() > 1:
-        raise SystemExit('--quant-int8 is single-device only')
-
     dataset = build_dataset({**cfg.data['test'], 'test_mode': True})
     loader = build_dataloader(dataset, 1, cfg.data.get(
         'workers_per_gpu', 2), shuffle=False)
