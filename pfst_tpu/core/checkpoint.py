@@ -92,15 +92,45 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = osp.abspath(osp.expanduser(path))  # orbax requires absolute
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        try:
-            # carries per-leaf shardings when the target holds global
-            # jax.Arrays (multi-process restore lands each process's
-            # shards directly); degrades to plain numpy otherwise
-            args = ocp.checkpoint_utils.construct_restore_args(target)
-            return ckptr.restore(path, item=target, restore_args=args)
-        except Exception:
-            return ckptr.restore(path, item=target)
+        if _needs_sharded_restore(target):
+            try:
+                # carries per-leaf shardings when the target holds
+                # global/multi-device jax.Arrays (multi-process restore
+                # lands each process's shards directly in place)
+                args = ocp.checkpoint_utils.construct_restore_args(
+                    target)
+                return ckptr.restore(path, item=target,
+                                     restore_args=args)
+            except Exception:
+                pass
+        # single-device targets restore as plain host arrays —
+        # UNCOMMITTED, so a later jit/shard_map is free to place them
+        # on the mesh (restoring with a fresh init's
+        # SingleDeviceSharding would pin the whole state to device 0
+        # and poison every multi-device step with an
+        # incompatible-devices error)
+        return ckptr.restore(path, item=target)
     return ckptr.restore(path)
+
+
+def _needs_sharded_restore(target) -> bool:
+    """True when the target holds multi-device or non-addressable
+    global arrays (multi-process / mesh-sharded state)."""
+    import jax
+    if jax.process_count() > 1:
+        return True
+    for leaf in jax.tree_util.tree_leaves(target):
+        sharding = getattr(leaf, 'sharding', None)
+        if sharding is None:
+            continue
+        if not getattr(leaf, 'is_fully_addressable', True):
+            return True
+        try:
+            if len(sharding.device_set) > 1:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def load_meta(work_dir: str) -> Optional[Dict]:
