@@ -465,3 +465,165 @@ def test_pfgst_one_iteration_golden_trace(thre_type):
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(want_flat[key]),
             rtol=2e-3, atol=2e-4, err_msg=f'batch stat {key}')
+
+
+# --------------------- DACS golden trace (round 3) ---------------------
+def torch_dacs_step(student, teacher, imnet, batch, mix_masks,
+                    iter_idx, fd_lambda, fd_classes):
+    """The DACS iteration (``rsiseg/models/uda/dacs.py``): PFGST's
+    skeleton minus the aux losses, mixing the PLAIN target view
+    (``dacs.py:253``), plus the frozen-model feature-distance
+    regulariser (``dacs.py:151-161,204-211`` — dead in the reference's
+    forward, functional here; the twin mirrors
+    ``pfst_tpu/models/uda/pfgst.py:feat_dist_loss``)."""
+    img = torch.from_numpy(batch['img']).permute(0, 3, 1, 2)
+    gt = torch.from_numpy(batch['gt_semantic_seg']).long()
+    target_img = torch.from_numpy(batch['target_img']).permute(
+        0, 3, 1, 2)
+    masks = torch.from_numpy(mix_masks).float()
+
+    a = min(1.0 - 1.0 / (iter_idx + 1), ALPHA)
+    with torch.no_grad():
+        for pt_, ps_ in zip(teacher.parameters(),
+                            student.parameters()):
+            pt_.mul_(a).add_(ps_, alpha=1.0 - a)
+
+    log = {}
+    student.train()
+    teacher.train()
+    imnet.train()
+
+    # source pass, keeping the backbone features for fdist
+    feats = student.backbone(img)
+    src_logits, _ = student.decode_head(feats)
+    src_aux = student.auxiliary_head(feats)
+    log.update(torch_ce_losses(src_logits, gt, prefix='decode.'))
+    log.update(torch_ce_losses(src_aux, gt, loss_weight=0.4,
+                               prefix='aux.'))
+
+    # fdist: L2 over channels between student and frozen stage-4 feats
+    with torch.no_grad():
+        f_imnet = imnet.backbone(img)[-1]
+    f_stu = feats[-1]
+    diff = torch.sqrt(((f_stu - f_imnet) ** 2).sum(dim=1) + 1e-12)
+    scale = gt.shape[1] // f_stu.shape[2]
+    gt_small = gt[:, ::scale, ::scale]
+    m = torch.zeros_like(gt_small, dtype=torch.bool)
+    for c in fd_classes:
+        m = m | (gt_small == c)
+    eps = float(np.finfo(np.float32).eps)
+    fd = float((diff * m.float()).sum() / (m.float().sum() + eps))
+    log['loss_imnet_feat_dist'] = fd_lambda * fd
+
+    # teacher pseudo-labels (thre_type 'all')
+    with torch.no_grad():
+        ema_logits, _, _ = teacher(target_img)
+        ema_up = F.interpolate(ema_logits, size=img.shape[2:],
+                               mode='bilinear', align_corners=False)
+        ema_softmax = torch.softmax(ema_up, dim=1)
+        pseudo_prob, pseudo_label = torch.max(ema_softmax, dim=1)
+        large = (pseudo_prob >= TAU).float()
+        pseudo_weight = torch.full_like(pseudo_prob,
+                                        float(large.mean()))
+
+    # ClassMix blend of the PLAIN target view
+    mm = masks.unsqueeze(1)
+    mixed_img = mm * img + (1 - mm) * target_img
+    mixed_lbl = (masks * gt.float() +
+                 (1 - masks) * pseudo_label.float()).long()
+    mixed_weight = masks * 1.0 + (1 - masks) * pseudo_weight
+
+    mix_logits, _, mix_aux = student(mixed_img)
+    log.update(torch_ce_losses(mix_logits, mixed_lbl, mixed_weight,
+                               prefix='mix.decode.'))
+    log.update(torch_ce_losses(mix_aux, mixed_lbl, mixed_weight,
+                               loss_weight=0.4, prefix='mix.aux.'))
+
+    total = sum(v for n, v in log.items() if 'loss' in n)
+    log['loss'] = float(total)
+    return log
+
+
+def test_dacs_one_iteration_golden_trace():
+    """DACS (second shipped UDA family): source CE -> fdist -> teacher
+    pseudo-labels -> plain-target ClassMix -> mixed CE, all log vars +
+    post-step EMA matching the torch twin."""
+    torch.manual_seed(3)
+    student = TorchModel()
+    teacher = TorchModel()
+    imnet = TorchModel()
+    with torch.no_grad():
+        for mdl in (student, teacher):
+            for m in mdl.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+
+    rs = np.random.RandomState(5)
+    batch = {
+        'img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(
+            0, NUM_CLASSES, (2, SIZE, SIZE)).astype(np.int32),
+        'target_img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'target_img_strong_aug': rs.randn(2, SIZE, SIZE, 3).astype(
+            np.float32),
+    }
+    fd_classes = [2, 3]
+    uda = dict(
+        type='DACS', alpha=ALPHA, pseudo_threshold=TAU,
+        pseudo_weight_ignore_top=0, pseudo_weight_ignore_bottom=0,
+        imnet_feature_dist_lambda=0.01,
+        imnet_feature_dist_classes=fd_classes, mix='class',
+        blur=False, color_jitter_strength=0.2,
+        color_jitter_probability=1.0)
+    algo = build_train_model(dict(uda=uda, model=_model_cfg(),
+                                  runner=dict(max_iters=100)))
+    tx = optax.adamw(6e-5, weight_decay=0.01)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+
+    ps, bs = _convert(student)
+    pt, bt = _convert(teacher)
+    pi, _ = _convert(imnet)
+    state = state.replace(
+        params=_merge(state.params, ps),
+        batch_stats=_merge(state.batch_stats, bs),
+        ema_params=_merge(state.ema_params, pt),
+        ema_batch_stats=_merge(state.ema_batch_stats, bt),
+        imnet_params=_merge(state.imnet_params, pi),
+        step=jnp.asarray(START_STEP, jnp.int32))
+
+    rng = jax.random.PRNGKey(11)
+    step_fn = algo.make_train_step(
+        tx, mean=MEAN, std=STD, jit=True, donate=False,
+        split_compile=False)
+    new_state, log_vars, _ = step_fn(state, batch, rng)
+    ours = {k: float(v) for k, v in log_vars.items()}
+
+    updated = algo.ema_update(state, algo.alpha)
+    premix = jax.jit(
+        lambda e, eb, b, r: algo.teacher_and_mix(
+            e, eb, b, r, jnp.asarray(MEAN, jnp.float32),
+            jnp.asarray(STD, jnp.float32)))(
+                updated.ema_params, updated.ema_batch_stats, batch,
+                rng)
+    mix_masks = np.asarray(premix['mix_masks'])
+    assert 0.0 < mix_masks.mean() < 1.0
+
+    theirs = torch_dacs_step(student, teacher, imnet, batch, mix_masks,
+                             START_STEP, 0.01, fd_classes)
+    assert set(theirs) == set(ours), sorted(set(theirs) ^ set(ours))
+    for k in sorted(theirs):
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-3, atol=2e-3,
+            err_msg=f'log var {k} diverges (DACS)')
+
+    pt2, _ = _convert(teacher)
+    want = _merge(state.ema_params, pt2)
+    want_flat = {jax.tree_util.keystr(p): v for p, v in
+                 jax.tree_util.tree_leaves_with_path(want)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            new_state.ema_params):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(want_flat[key]),
+            rtol=1e-5, atol=1e-6, err_msg=f'EMA param {key}')
