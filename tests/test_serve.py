@@ -130,3 +130,107 @@ def test_serve_quant_int8_roundtrip():
         assert mask.shape == (32, 32) and mask.max() < 6
     finally:
         srv.shutdown()
+
+
+def test_micro_batcher_groups_and_scatters():
+    """Concurrent requests group into one padded forward; each caller
+    gets exactly its own image's result; a shape change breaks the
+    group; errors propagate to every waiting caller."""
+    import time
+    import numpy as jnp_np
+    import serve
+
+    calls = []
+
+    def slow_apply(variables, batch):
+        calls.append(batch.shape)
+        time.sleep(0.05)
+        # identifiable per-image "probs": mean over pixels
+        return batch.mean(axis=(1, 2, 3), keepdims=True), None
+
+    mb = serve._MicroBatcher(slow_apply, max_batch=4, linger_ms=30.0)
+    imgs = [np.full((1, 8, 8, 3), float(i), np.float32)
+            for i in range(6)]
+    results = [None] * 6
+
+    def call(i):
+        probs, _ = mb(None, imgs[i])
+        results[i] = float(np.asarray(probs).ravel()[0])
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert results == [float(i) for i in range(6)], results
+    assert max(mb.group_sizes) > 1, mb.group_sizes       # it batched
+    assert sum(mb.group_sizes) == 6
+    # padded groups compile only the max_batch shape (plus singles)
+    assert all(s[0] in (1, 4) for s in calls), calls
+
+    # shape change starts its own group
+    other = np.zeros((1, 4, 4, 3), np.float32)
+    t1 = threading.Thread(target=lambda: mb(None, imgs[0]))
+    t2 = threading.Thread(target=lambda: mb(None, other))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    assert all(s[1] in (8, 4) for s in calls)
+
+    # an apply error reaches every caller in the group
+    def bad_apply(variables, batch):
+        raise RuntimeError('boom')
+
+    mbe = serve._MicroBatcher(bad_apply, max_batch=2, linger_ms=5.0)
+    with pytest.raises(RuntimeError, match='boom'):
+        mbe(None, imgs[0])
+
+
+def test_serve_max_batch_http_roundtrip():
+    """--max-batch server answers concurrent requests with the same
+    label maps the serialized server produces."""
+    import serve
+    srv1 = serve.build_server(_test_cfg(), port=0, max_batch=1)
+    srv4 = serve.build_server(_test_cfg(), port=0, max_batch=4)
+    threads = []
+    for srv in (srv1, srv4):
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        threads.append(t)
+    try:
+        rs = np.random.RandomState(9)
+        imgs = [rs.randint(0, 255, (32, 32, 3), np.uint8)
+                for _ in range(5)]
+        bodies = []
+        for im in imgs:
+            ok, buf = cv2.imencode('.png', im)
+            bodies.append(buf.tobytes())
+
+        def post(port, body):
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predictions/m',
+                data=body, method='POST')
+            with urllib.request.urlopen(req, timeout=180) as r:
+                assert r.status == 200
+                return cv2.imdecode(
+                    np.frombuffer(r.read(), np.uint8),
+                    cv2.IMREAD_UNCHANGED)
+
+        p1 = srv1.server_address[1]
+        ref = [post(p1, b) for b in bodies]
+
+        p4 = srv4.server_address[1]
+        out = [None] * len(bodies)
+
+        def call(i):
+            out[i] = post(p4, bodies[i])
+
+        ts = [threading.Thread(target=call, args=(i,))
+              for i in range(len(bodies))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(r, o)
+    finally:
+        srv1.shutdown()
+        srv4.shutdown()

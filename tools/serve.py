@@ -38,13 +38,87 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 
+class _MicroBatcher:
+    """Groups concurrent single-image forwards into one program call.
+
+    Requests land on a queue; a dispatcher thread collects up to
+    ``max_batch`` same-shaped requests within a short linger window,
+    pads the group to exactly ``max_batch`` (so only two program
+    shapes ever compile: 1 and max_batch), runs ONE forward, and
+    scatters the per-image results to the waiting handler threads.
+    The reference's torchserve handler processes requests strictly
+    one at a time."""
+
+    def __init__(self, apply_one, max_batch: int, linger_ms=4.0):
+        import queue as _q
+        self.apply = apply_one
+        self.max_batch = int(max_batch)
+        self.linger = linger_ms / 1000.0
+        self.q: '_q.Queue' = _q.Queue()
+        self.group_sizes = []  # observability + tests
+        self._stash = None
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def __call__(self, variables, img):
+        from concurrent.futures import Future
+        fut = Future()
+        self.q.put((variables, img, fut))
+        return fut.result()
+
+    def _collect(self):
+        import queue as _q
+        import time as _t
+        first = self._stash or self.q.get()
+        self._stash = None
+        group = [first]
+        deadline = _t.monotonic() + self.linger
+        while len(group) < self.max_batch:
+            timeout = deadline - _t.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self.q.get(timeout=timeout)
+            except _q.Empty:
+                break
+            if item[1].shape != first[1].shape:
+                self._stash = item  # different shape: its own group
+                break
+            group.append(item)
+        return group
+
+    def _loop(self):
+        import jax.numpy as jnp
+        while True:
+            group = self._collect()
+            variables = group[0][0]
+            try:
+                n = len(group)
+                imgs = [im for (_, im, _) in group]
+                if n > 1 and n < self.max_batch:
+                    imgs = imgs + [imgs[-1]] * (self.max_batch - n)
+                batch = imgs[0] if len(imgs) == 1 else \
+                    jnp.concatenate(imgs, axis=0)
+                probs, _ = self.apply(variables, batch)
+                self.group_sizes.append(n)
+                for i, (_, _, fut) in enumerate(group):
+                    fut.set_result((probs[i:i + 1], None))
+            except Exception as e:
+                for (_, _, fut) in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
 class Predictor:
     """Checkpointed segmentor with a shape-keyed jit cache."""
 
     def __init__(self, config, checkpoint=None, seed=0,
-                 quant_int8=False, act_scales=None):
+                 quant_int8=False, act_scales=None, max_batch=1):
         self.quant_int8 = quant_int8
         self.act_scales = act_scales
+        self.max_batch = int(max_batch or 1)
+        self._batcher = (_MicroBatcher(self._apply_fn, self.max_batch)
+                         if self.max_batch > 1 else None)
         from pfst_tpu.apis.inference import init_segmentor
         self.model, self.variables = init_segmentor(config, checkpoint)
         if self.variables is None:  # smoke-serving without a checkpoint
@@ -79,6 +153,12 @@ class Predictor:
 
     def predict(self, img_bgr: np.ndarray) -> np.ndarray:
         from pfst_tpu.apis.inference import inference_segmentor
+        if self._batcher is not None:
+            # the dispatcher thread serializes chip access and groups
+            # concurrent requests into one forward — no lock here
+            return inference_segmentor(
+                self.model, self.variables, img_bgr,
+                apply_fn=self._batcher).astype(np.uint8)
         with self._lock:  # one chip, one program at a time
             return inference_segmentor(
                 self.model, self.variables, img_bgr,
@@ -156,9 +236,9 @@ def make_handler(predictor: Predictor):
 
 
 def build_server(config, checkpoint=None, host='127.0.0.1', port=8080,
-                 quant_int8=False, act_scales=None):
+                 quant_int8=False, act_scales=None, max_batch=1):
     predictor = Predictor(config, checkpoint, quant_int8=quant_int8,
-                          act_scales=act_scales)
+                          act_scales=act_scales, max_batch=max_batch)
     return ThreadingHTTPServer((host, port), make_handler(predictor))
 
 
@@ -173,6 +253,9 @@ def parse_args(args=None):
     p.add_argument('--act-scales', default=None,
                    help='static activation-scale JSON from '
                         'tools/calibrate_int8.py')
+    p.add_argument('--max-batch', type=int, default=1,
+                   help='micro-batch concurrent requests into one '
+                        'forward (1 = serialize, torchserve-style)')
     return p.parse_args(args)
 
 
@@ -183,7 +266,7 @@ def main(args=None):
         scales = json.load(open(args.act_scales))
     server = build_server(args.config, args.checkpoint, args.host,
                           args.port, quant_int8=args.quant_int8,
-                          act_scales=scales)
+                          act_scales=scales, max_batch=args.max_batch)
     print(f'serving on http://{args.host}:{server.server_address[1]}',
           file=sys.stderr)
     try:
