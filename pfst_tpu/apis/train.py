@@ -709,13 +709,19 @@ def evaluate_during_train(cfg, algo, state, eval_cfg, logger,
         val_ds, loader = cached
     model = algo.get_model()
     variables = algo.student_variables(state)
+    # evaluation = dict(quant_int8=True): score the DEPLOYED int8
+    # program mid-training (the natural companion of cfg.qat)
+    extra = {}
+    if eval_cfg.get('quant_int8'):
+        extra = dict(quant_int8=True,
+                     act_scales=eval_cfg.get('act_scales'))
     if jax.local_device_count() > 1:
         from .test import multi_gpu_test
         results = multi_gpu_test(model, variables, loader,
-                                 pre_eval=True)
+                                 pre_eval=True, **extra)
     else:
         results = single_gpu_test(model, variables, loader,
-                                  pre_eval=True)
+                                  pre_eval=True, **extra)
     metric = eval_cfg.get('metric', 'mIoU')
     res = val_ds.evaluate(results, metric=metric, logger=logger)
     return res

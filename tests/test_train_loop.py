@@ -269,3 +269,15 @@ def test_train_loop_qat_wiring(data_root):
     from pfst_tpu.apis import train_segmentor
     state = train_segmentor(cfg, work_dir=None, validate=False, seed=0)
     assert int(state.step) == 3
+
+
+def test_train_loop_qat_with_int8_eval(data_root):
+    """evaluation.quant_int8=True scores the deployed int8 program at
+    each eval interval — the natural companion of cfg.qat."""
+    cfg = _cfg(data_root, with_uda=False)
+    cfg['qat'] = True
+    cfg['evaluation'] = dict(interval=3, metric='mIoU', pre_eval=True,
+                             quant_int8=True)
+    from pfst_tpu.apis import train_segmentor
+    state = train_segmentor(cfg, work_dir=None, validate=True, seed=0)
+    assert int(state.step) == 3
