@@ -38,13 +38,20 @@ IMAGE_EXTS = ('.png', '.jpg', '.jpeg', '.tif', '.tiff', '.bmp')
 def pack_directory(directory: str) -> int:
     """Decode every image in ``directory`` (IMREAD_UNCHANGED — the
     lossless representation) into one flat blob + index.  Returns the
-    number of images packed (0 writes nothing)."""
+    number of images packed (0 writes nothing).
+
+    Re-packing a live directory is safe: each pack writes a fresh
+    uniquely-named blob that the (atomically replaced) index points
+    to, so a concurrent reader can never pair a new index with an old
+    blob or vice versa; readers holding the previous blob mmap keep
+    reading it even after the file is unlinked (POSIX)."""
     directory = osp.abspath(directory)
     files = sorted(f for f in os.listdir(directory)
                    if f.lower().endswith(IMAGE_EXTS))
     index: Dict[str, list] = {}
-    bin_tmp = osp.join(directory, PACK_BIN + '.tmp')
-    with open(bin_tmp, 'wb') as f:
+    blob_name = f'{PACK_BIN}.{os.getpid()}.{_next_pack_id()}'
+    blob_path = osp.join(directory, blob_name)
+    with open(blob_path, 'wb') as f:
         for name in files:
             arr = cv2.imread(osp.join(directory, name),
                              cv2.IMREAD_UNCHANGED)
@@ -53,23 +60,43 @@ def pack_directory(directory: str) -> int:
             index[name] = [f.tell(), list(arr.shape), str(arr.dtype)]
             f.write(np.ascontiguousarray(arr).tobytes())
     if not index:
-        os.remove(bin_tmp)
+        os.remove(blob_path)
         return 0
-    with open(osp.join(directory, PACK_IDX + '.tmp'), 'w') as f:
-        json.dump(index, f)
-    # blob first so a reader never sees an index without its data
-    os.replace(bin_tmp, osp.join(directory, PACK_BIN))
-    os.replace(osp.join(directory, PACK_IDX + '.tmp'),
-               osp.join(directory, PACK_IDX))
+    idx_tmp = osp.join(directory, PACK_IDX + '.tmp')
+    with open(idx_tmp, 'w') as f:
+        json.dump({'blob': blob_name, 'entries': index}, f)
+    os.replace(idx_tmp, osp.join(directory, PACK_IDX))
+    # drop stale blobs from previous packs (open mmaps survive unlink)
+    for old in os.listdir(directory):
+        if (old.startswith(PACK_BIN) and old != blob_name
+                and not old.endswith('.tmp')):
+            try:
+                os.remove(osp.join(directory, old))
+            except OSError:
+                pass
     invalidate(directory)
     return len(index)
+
+
+_PACK_COUNTER = [0]
+
+
+def _next_pack_id() -> int:
+    _PACK_COUNTER[0] += 1
+    return _PACK_COUNTER[0]
 
 
 class _Pack:
     def __init__(self, directory: str):
         with open(osp.join(directory, PACK_IDX)) as f:
-            self.index = json.load(f)
-        self.blob = np.memmap(osp.join(directory, PACK_BIN),
+            raw = json.load(f)
+        if 'entries' in raw:
+            self.index = raw['entries']
+            blob = raw.get('blob', PACK_BIN)
+        else:  # legacy flat index
+            self.index = raw
+            blob = PACK_BIN
+        self.blob = np.memmap(osp.join(directory, blob),
                               np.uint8, mode='r')
 
     def get(self, name: str, color: bool,
@@ -111,9 +138,11 @@ def lookup(path: str, color: bool = True,
     real decoder)."""
     directory, name = osp.split(osp.abspath(path))
     if directory not in _packs:
-        has = (osp.exists(osp.join(directory, PACK_IDX))
-               and osp.exists(osp.join(directory, PACK_BIN)))
-        _packs[directory] = _Pack(directory) if has else None
+        has = osp.exists(osp.join(directory, PACK_IDX))
+        try:
+            _packs[directory] = _Pack(directory) if has else None
+        except OSError:
+            _packs[directory] = None  # torn/partial pack: disk decode
     pack = _packs[directory]
     if pack is None:
         return None

@@ -114,3 +114,30 @@ def test_pipeline_output_identical_with_pack(tmp_path):
         np.testing.assert_array_equal(np.asarray(ds2[i]['img'][0]),
                                       plain[i])
     packing.invalidate()
+
+
+def test_repack_is_safe_for_live_readers(corpus):
+    """Re-packing writes a fresh uniquely-named blob referenced by the
+    atomically-replaced index: a reader holding the OLD pack keeps
+    producing correct bytes (unlinked blob stays readable), and new
+    readers see the new content."""
+    packing.pack_directory(corpus)
+    p = osp.join(corpus, 'color.png')
+    before = imread(p)
+    # hold the old pack open
+    old_pack = packing._packs[osp.abspath(corpus)]
+    # change the file and re-pack
+    new_img = np.random.RandomState(5).randint(
+        0, 255, (20, 24, 3), np.uint8)
+    cv2.imwrite(p, new_img)
+    packing.pack_directory(corpus)
+    after = imread(p)
+    np.testing.assert_array_equal(after, cv2.imread(p))
+    assert not np.array_equal(before, after)
+    # the old handle still serves the old bytes
+    np.testing.assert_array_equal(
+        old_pack.get('color.png', color=True, unchanged=False), before)
+    # exactly one blob file remains
+    blobs = [f for f in os.listdir(corpus)
+             if f.startswith(packing.PACK_BIN)]
+    assert len(blobs) == 1, blobs

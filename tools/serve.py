@@ -101,6 +101,8 @@ class _MicroBatcher:
                     jnp.concatenate(imgs, axis=0)
                 probs, _ = self.apply(variables, batch)
                 self.group_sizes.append(n)
+                if len(self.group_sizes) > 1000:
+                    del self.group_sizes[:500]
                 for i, (_, _, fut) in enumerate(group):
                     fut.set_result((probs[i:i + 1], None))
             except Exception as e:
