@@ -67,3 +67,108 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
                                    NamedSharding(mesh, P()))
     probs = fn(variables_dev, scene_dev)
     return probs if batched else probs[0]
+
+
+# ---------------------------------------------------------------------------
+# Spatially-partitioned TRAINING (beyond the reference, which caps the
+# trainable crop at one GPU's memory — ``configs/_base_/datasets/
+# pots_irrg2vaih_irrg.py`` crops to 512² for exactly that reason).
+# Sharding the crop's HEIGHT axis across the mesh lets one *training*
+# step run on crops/scenes n× taller than a single chip could hold:
+# XLA GSPMD inserts the conv fwd/bwd halo exchanges and turns every
+# BN / loss / histogram reduction into a global collective, so the
+# step is EXACT vs the single-device step (layout-only change; BN
+# batch statistics are computed over the full batch — i.e. sync-BN by
+# construction, which *is* the single-device semantics).
+# ---------------------------------------------------------------------------
+
+SPATIAL_AXIS = 'spatial'
+
+
+def get_spatial_mesh(n_spatial: int, devices=None) -> Mesh:
+    """(data, spatial) 2-D mesh; dp size = n_devices // n_spatial."""
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices())
+    assert devices.size % n_spatial == 0, \
+        f'{devices.size} devices not divisible by sp={n_spatial}'
+    return Mesh(devices.reshape(-1, n_spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_batch_sharding(mesh: Mesh):
+    """Batch arrays: dim 0 over ``data``, dim 1 (H) over ``spatial``.
+
+    Applies to (B, H, W, C) images and (B, H, W) label maps alike —
+    trailing dims stay unsharded under the prefix spec.
+    """
+    dp = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    return NamedSharding(mesh, P(dp, SPATIAL_AXIS))
+
+
+def shard_spatial_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put every batch array with the (data, spatial) layout."""
+    assert jax.process_count() == 1, \
+        'spatial training is single-process for now (H-axis shards ' \
+        'do not align with per-process loader batch shards)'
+    sp = mesh.shape[SPATIAL_AXIS]
+    sh = spatial_batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, 'ndim'):
+            out[k] = v
+        elif v.ndim >= 3:
+            assert v.shape[1] % sp == 0, \
+                f'{k}: H={v.shape[1]} not divisible by sp={sp}'
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = jax.device_put(v, repl)
+    return out
+
+
+def make_spatial_train_step(algo, tx, mean, std, mesh: Mesh,
+                            collect_vis: bool = False):
+    """GSPMD train step over a (data, spatial) mesh.
+
+    The single-device step (``algo.make_train_step(..., jit=False)``)
+    is jitted with replicated-state output shardings; the batch's
+    committed (data, spatial) layout (``shard_spatial_batch``) drives
+    GSPMD propagation through the whole fwd+bwd program. No shard_map,
+    no axis_name: every cross-shard reduction (BN batch stats, loss
+    means, ClassMix class histograms, gradients) is inserted by the
+    partitioner, so the result is bit-compatible with the unsharded
+    step rather than a per-replica approximation of it.
+
+    RNG is replicated — augmentation draws match the single-device
+    step exactly (the dp ``shard_map`` path instead folds in the
+    replica index to mimic per-rank torch seeds).
+
+    The merged student pass (``PFGST.merge_student_passes``) is
+    DISABLED under spatial sharding: on jax 0.9.0, vmapping the model
+    over the stacked {source, mixed} slices while the operand is
+    sharded on BOTH the batch and H axes miscompiles the backward —
+    backbone parameter gradients come out exactly 2x (cosine 0.9997
+    to the true gradient, elementwise ratio 2.0) while the loss and
+    the head gradients stay correct, so only a gradient-level test
+    catches it. Measured on a (data=2, spatial=4) CPU mesh, batch 2,
+    64x32 crops; dp-only and sp-only meshes are exact, and the
+    sequential two-pass path is exact (1e-7) on the combined mesh.
+    Set PFST_SP_MERGE=1 to re-enable (e.g. to re-test on newer
+    toolchains).
+    """
+    import copy
+    import os
+    if getattr(algo, 'merge_student_passes', False) and \
+            os.environ.get('PFST_SP_MERGE', '0') != '1':
+        algo = copy.copy(algo)
+        algo.merge_student_passes = False
+    inner = algo.make_train_step(tx, mean, std,
+                                 collect_vis=collect_vis,
+                                 donate=False, axis_name=None,
+                                 jit=False)
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(inner, donate_argnums=(0,),
+                   out_shardings=(repl, repl, None))
+    step.merged_student_passes = getattr(algo, 'merge_student_passes',
+                                         False)
+    return step

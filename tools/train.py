@@ -50,6 +50,13 @@ def parse_args(args=None):
                         ' block weights over this many devices (the'
                         ' rest form the data axis); equivalent to'
                         ' --cfg-options parallel.tp=N')
+    parser.add_argument('--sp', type=int, default=None,
+                        help='spatial-parallel degree: shard the'
+                        ' training crop\'s H axis over this many'
+                        ' devices (GSPMD halo exchange; exact global'
+                        ' sync-BN semantics) — trains crops too tall'
+                        ' for one chip; equivalent to --cfg-options'
+                        ' parallel.sp=N')
     parser.add_argument('--zero', nargs='?', const=1, default=None,
                         type=int, choices=[1, 3],
                         help='ZeRO optimizer-state sharding over the'
@@ -72,6 +79,8 @@ def main(args=None):
         cfg.merge_from_dict(args.cfg_options)
     if args.tp:
         cfg.merge_from_dict({'parallel.tp': args.tp})
+    if args.sp:
+        cfg.merge_from_dict({'parallel.sp': args.sp})
     if args.zero:
         cfg.merge_from_dict({'parallel.zero': args.zero})
 
