@@ -37,6 +37,36 @@ def make_inference_fn(model, rescale: bool = True):
     return infer
 
 
+def make_spatial_inference_fn(model, n_spatial: int):
+    """Whole-image forward with the H axis GSPMD-sharded over
+    ``n_spatial`` devices (``parallel/spatial.py``) — evaluates scenes
+    too large for one chip's HBM. Heights that do not divide by the
+    mesh are edge-padded and the probs cropped back; note that with
+    image-pooling heads (ASPP) the padded rows enter the global pool,
+    so prefer heights divisible by the mesh for bit-exactness."""
+    from jax.sharding import Mesh
+
+    from ..parallel import spatial as sp_mod
+    from ..parallel.mesh import DATA_AXIS
+    devs = jax.devices()
+    assert n_spatial <= len(devs), \
+        f'spatial={n_spatial} exceeds {len(devs)} devices'
+    mesh = Mesh(np.asarray(devs[:n_spatial]), (DATA_AXIS,))
+    cache: Dict[Any, Any] = {}
+
+    def infer(variables, img):
+        h = img.shape[1]
+        pad = (-h) % n_spatial
+        if pad:
+            img = jnp.pad(img, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                          mode='edge')
+        probs = sp_mod.spatial_inference(model, variables, img, mesh,
+                                         jit_cache=cache)
+        return probs[:, :h] if pad else probs
+
+    return infer
+
+
 def make_state_fn(model, sim_cfg: Optional[dict] = None):
     """jitted feature-state extractor (reference ``apis/test.py:160-191``
     ``state_proc_fun``): neighborhood similarity of the decoded
@@ -88,7 +118,8 @@ def single_gpu_test(model,
                     return_states: bool = False,
                     state_proc_cfg: Optional[dict] = None,
                     quant_int8: bool = False,
-                    act_scales: Optional[dict] = None):
+                    act_scales: Optional[dict] = None,
+                    spatial: int = 0):
     """Returns pre_eval tuples (or label maps); with ``return_states``
     also a list of per-image feature-state dicts.
 
@@ -104,14 +135,15 @@ def single_gpu_test(model,
     with qctx:
         return _single_gpu_test_body(
             model, variables, data_loader, pre_eval, format_only,
-            out_dir, progress, return_states, state_proc_cfg)
+            out_dir, progress, return_states, state_proc_cfg, spatial)
 
 
 def _single_gpu_test_body(model, variables, data_loader, pre_eval,
                           format_only, out_dir, progress,
-                          return_states, state_proc_cfg):
+                          return_states, state_proc_cfg, spatial=0):
     dataset = data_loader.dataset
-    infer = make_inference_fn(model)
+    infer = make_spatial_inference_fn(model, spatial) if spatial \
+        else make_inference_fn(model)
     state_fn = make_state_fn(model, state_proc_cfg) if return_states \
         else None
     state_list: List[Any] = []

@@ -122,3 +122,45 @@ def test_multi_device_eval_partial_bucket(eval_setup):
     for a, b in zip(res_single, res_multi):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_spatial_eval_matches_single(eval_setup):
+    """single_gpu_test(spatial=8): each 40-high image's forward runs
+    H-sharded over the 8-device mesh (divisible — no padding) and the
+    per-image histograms must match the unsharded eval."""
+    model, variables, loader, ds = eval_setup
+    from pfst_tpu.apis import single_gpu_test
+
+    res_plain = single_gpu_test(model, variables, loader,
+                                pre_eval=True, progress=False)
+    res_sp = single_gpu_test(model, variables, loader, pre_eval=True,
+                             progress=False, spatial=8)
+    assert len(res_sp) == len(res_plain) == 8
+    m_plain = ds.evaluate(res_plain, metric='mIoU')
+    m_sp = ds.evaluate(res_sp, metric='mIoU')
+    # layout-only sharding: identical math modulo fp reassociation;
+    # allow a whisker of argmax-tie noise on the random-init model
+    assert abs(m_plain['mIoU'] - m_sp['mIoU']) < 0.2
+
+
+def test_spatial_eval_pads_nondivisible(eval_setup):
+    """spatial=3 on 40-high images: H pads 40->42 with edge rows and
+    the probs crop back — semantics identical to padding by hand and
+    running unsharded."""
+    import jax.numpy as jnp
+
+    model, variables, loader, ds = eval_setup
+    from pfst_tpu.apis.test import (make_inference_fn,
+                                    make_spatial_inference_fn)
+
+    img = jnp.asarray(
+        np.random.RandomState(3).randn(1, 40, 40, 3), np.float32)
+    sp_fn = make_spatial_inference_fn(model, 3)
+    out_sp = np.asarray(sp_fn(variables, img))
+    assert out_sp.shape[1] == 40  # cropped back
+
+    padded = jnp.pad(img, ((0, 0), (0, 2), (0, 0), (0, 0)),
+                     mode='edge')
+    ref = np.asarray(
+        make_inference_fn(model)(variables, padded))[:, :40]
+    np.testing.assert_allclose(out_sp, ref, atol=1e-5)

@@ -43,6 +43,13 @@ def parse_args(args=None):
                         help='static activation-scale JSON from '
                              'tools/calibrate_int8.py (default: '
                              'dynamic in-trace scales)')
+    parser.add_argument('--spatial', type=int, default=0,
+                        help='shard each whole-image forward\'s H'
+                             ' axis over this many devices (GSPMD'
+                             ' halo exchange; parallel/spatial.py) —'
+                             ' evaluates scenes too large for one'
+                             ' chip; non-divisible heights are'
+                             ' edge-padded')
     parser.add_argument('--launcher', default='none')
     parser.add_argument('--local_rank', type=int, default=0)
     return parser.parse_args(args)
@@ -94,6 +101,12 @@ def main(args=None):
     test_fn = multi_gpu_test if jax.local_device_count() > 1 \
         else single_gpu_test
     extra = {}
+    if args.spatial:
+        # spatial shards ONE forward across devices (memory-bound
+        # scenes); image-sharded multi_gpu_test is the throughput
+        # layout — they don't compose, spatial wins when asked for
+        test_fn = single_gpu_test
+        extra['spatial'] = args.spatial
     if args.quant_int8:
         extra['quant_int8'] = True
         if args.act_scales:
