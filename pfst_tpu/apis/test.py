@@ -151,19 +151,41 @@ def _single_gpu_test_body(model, variables, data_loader, pre_eval,
     logger = get_root_logger()
     t0 = time.time()
     n = len(dataset)
-    for idx in range(n):
+
+    def fetch(idx):
+        """Load sample ``idx`` and start its host->device transfer.
+
+        Explicit ``device_put`` moves bytes ~7x faster than passing
+        numpy as execute-arguments on the tunneled TPU (PERF.md "Data
+        loading": 428 vs 40-60 MB/s), and calling it one image AHEAD
+        overlaps the next transfer + pipeline work with the current
+        device compute (dispatch is async; only the np.asarray in
+        ``_finalize_views`` blocks). The spatial path places with its
+        own sharding, so it transfers inside ``infer`` instead.
+        """
         sample = dataset[idx]
         imgs = sample['img']
         metas = sample['img_metas']
         if not isinstance(imgs, list):
             imgs, metas = [imgs], [metas]
+        if spatial:
+            dev = [jnp.asarray(img)[None] for img in imgs]
+        else:
+            dev = [jax.device_put(np.asarray(img)[None])
+                   for img in imgs]
+        return dev, metas
+
+    nxt = fetch(0) if n else None
+    for idx in range(n):
+        dev_imgs, metas = nxt
         ori_shape = metas[0]['ori_shape'][:2]
         metas_l = metas if isinstance(metas, list) else [metas]
-        view_probs = [infer(variables, jnp.asarray(img)[None])
-                      for img in imgs]
+        view_probs = [infer(variables, img) for img in dev_imgs]
+        if idx + 1 < n:
+            nxt = fetch(idx + 1)
         pred = _finalize_views(model, view_probs, metas_l, ori_shape)
         if state_fn is not None:
-            st = state_fn(variables, jnp.asarray(imgs[0])[None])
+            st = state_fn(variables, dev_imgs[0])
             state_list.append(
                 {k: np.asarray(v[0]) for k, v in st.items()})
         if pre_eval:

@@ -343,15 +343,19 @@ def train_segmentor(cfg,
             f'{n_dev} devices not divisible by parallel.tp={tp_size}'
     # spatial partitioning of the training crop (parallel/spatial.py):
     # cfg.parallel.sp devices shard the crop's H axis (GSPMD halo
-    # exchange), the rest form the data axis — trains crops sp× taller
-    # than one chip's HBM allows, exactly (global sync-BN semantics)
+    # exchange), optionally × parallel.spw on the W axis (2-D grid);
+    # the rest form the data axis — trains crops sp× taller (spw×
+    # wider) than one chip's HBM allows, exactly (global sync-BN
+    # semantics)
     sp_size = int(par_cfg.get('sp', 1))
-    if sp_size > 1:
+    spw_size = int(par_cfg.get('spw', 1))
+    if sp_size > 1 or spw_size > 1:
         assert tp_size == 1 and not zero_on, \
             'parallel.sp composes with dp only (not tp/zero)'
-        assert n_dev % sp_size == 0, \
-            f'{n_dev} devices not divisible by parallel.sp={sp_size}'
-    n_data = n_dev // (tp_size * sp_size)
+        assert n_dev % (sp_size * spw_size) == 0, \
+            f'{n_dev} devices not divisible by parallel.sp=' \
+            f'{sp_size}x spw={spw_size}'
+    n_data = n_dev // (tp_size * sp_size * spw_size)
     loader = build_dataloader(train_ds, samples_per_gpu * n_data,
                               workers_per_gpu, shuffle=True, seed=seed,
                               drop_last=True, infinite=True,
@@ -470,10 +474,10 @@ def train_segmentor(cfg,
         put = lambda b: tp_mod.shard_batch_2d(  # noqa: E731
             {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
             mesh2)
-    elif sp_size > 1:
+    elif sp_size > 1 or spw_size > 1:
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel import spatial as sp_mod
-        mesh_sp = sp_mod.get_spatial_mesh(sp_size)
+        mesh_sp = sp_mod.get_spatial_mesh(sp_size, spw_size)
         state = jax.device_put(state,
                                NamedSharding(mesh_sp, PartitionSpec()))
         step_fn = sp_mod.make_spatial_train_step(

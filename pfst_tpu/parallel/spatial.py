@@ -29,27 +29,46 @@ def spatial_sharding(mesh: Mesh):
 
 
 def spatial_inference(model, variables, scene, mesh: Mesh = None,
-                      jit_cache: dict = None):
+                      jit_cache: dict = None, grid=None):
     """scene (H, W, C) or (B, H, W, C) -> probs, H-sharded over the mesh.
 
     H must divide by the device count times the model's output stride
     (pad the scene first if not). Pass a dict as ``jit_cache`` to reuse
     the compiled program across calls of the same shape.
+
+    ``grid=(n_h, n_w)`` partitions the scene on a 2-D device grid
+    instead (H over ``n_h`` rows, W over ``n_w`` columns) — for scenes
+    so large even one H stripe exceeds a chip's HBM. GSPMD inserts the
+    halo exchanges on both axes; W must then divide by ``n_w`` too.
     """
+    if grid is not None:
+        n_h, n_w = grid
+        assert mesh is None, 'pass either mesh or grid, not both'
+        devices = np.asarray(jax.devices()[:n_h * n_w])
+        mesh = Mesh(devices.reshape(n_h, n_w),
+                    (SPATIAL_AXIS, SPATIAL_W_AXIS))
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
     batched = scene.ndim == 4
     if not batched:
         scene = scene[None]
-    n_dev = mesh.devices.size
-    h = scene.shape[1]
-    assert h % n_dev == 0, \
-        f'scene height {h} not divisible by {n_dev} devices — pad first'
+    h, w = scene.shape[1], scene.shape[2]
+    if grid is not None:
+        assert h % grid[0] == 0 and w % grid[1] == 0, \
+            f'scene {h}x{w} not divisible by grid {grid} — pad first'
+        sharding = NamedSharding(mesh, P(None, SPATIAL_AXIS,
+                                         SPATIAL_W_AXIS))
+    else:
+        n_dev = mesh.devices.size
+        assert h % n_dev == 0, \
+            f'scene height {h} not divisible by {n_dev} devices — ' \
+            'pad first'
+        sharding = spatial_sharding(mesh)
 
     key = ('spatial', tuple(scene.shape), id(mesh))
     fn = (jit_cache or {}).get(key)
     if fn is None:
-        sh = spatial_sharding(mesh)
+        sh = sharding
         repl = NamedSharding(mesh, P())
 
         def forward(variables, img):
@@ -62,7 +81,7 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
         if jit_cache is not None:
             jit_cache[key] = fn
 
-    scene_dev = jax.device_put(scene, spatial_sharding(mesh))
+    scene_dev = jax.device_put(scene, sharding)
     variables_dev = jax.device_put(variables,
                                    NamedSharding(mesh, P()))
     probs = fn(variables_dev, scene_dev)
@@ -83,25 +102,41 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
 # ---------------------------------------------------------------------------
 
 SPATIAL_AXIS = 'spatial'
+SPATIAL_W_AXIS = 'spatial_w'
 
 
-def get_spatial_mesh(n_spatial: int, devices=None) -> Mesh:
-    """(data, spatial) 2-D mesh; dp size = n_devices // n_spatial."""
+def get_spatial_mesh(n_spatial: int, n_spatial_w: int = 1,
+                     devices=None) -> Mesh:
+    """(data, spatial[, spatial_w]) mesh; dp = n_devices // (sp·spw).
+
+    With ``n_spatial_w > 1`` the crop is partitioned on a 2-D
+    (H, W) grid — for scenes so large even an H-sharded row of chips
+    cannot hold one stripe. The W axis is appended only when used so
+    existing (data, spatial) callers see the same mesh as before.
+    """
     devices = np.asarray(devices if devices is not None
                          else jax.devices())
-    assert devices.size % n_spatial == 0, \
-        f'{devices.size} devices not divisible by sp={n_spatial}'
-    return Mesh(devices.reshape(-1, n_spatial),
-                (DATA_AXIS, SPATIAL_AXIS))
+    total = n_spatial * n_spatial_w
+    assert devices.size % total == 0, \
+        f'{devices.size} devices not divisible by sp={n_spatial}' \
+        f'x spw={n_spatial_w}'
+    if n_spatial_w == 1:
+        return Mesh(devices.reshape(-1, n_spatial),
+                    (DATA_AXIS, SPATIAL_AXIS))
+    return Mesh(devices.reshape(-1, n_spatial, n_spatial_w),
+                (DATA_AXIS, SPATIAL_AXIS, SPATIAL_W_AXIS))
 
 
 def spatial_batch_sharding(mesh: Mesh):
-    """Batch arrays: dim 0 over ``data``, dim 1 (H) over ``spatial``.
+    """Batch arrays: dim 0 over ``data``, dim 1 (H) over ``spatial``,
+    and dim 2 (W) over ``spatial_w`` when the mesh carries it.
 
     Applies to (B, H, W, C) images and (B, H, W) label maps alike —
     trailing dims stay unsharded under the prefix spec.
     """
     dp = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    if SPATIAL_W_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(dp, SPATIAL_AXIS, SPATIAL_W_AXIS))
     return NamedSharding(mesh, P(dp, SPATIAL_AXIS))
 
 
@@ -111,6 +146,7 @@ def shard_spatial_batch(batch: dict, mesh: Mesh) -> dict:
         'spatial training is single-process for now (H-axis shards ' \
         'do not align with per-process loader batch shards)'
     sp = mesh.shape[SPATIAL_AXIS]
+    spw = mesh.shape.get(SPATIAL_W_AXIS, 1)
     sh = spatial_batch_sharding(mesh)
     repl = NamedSharding(mesh, P())
     out = {}
@@ -120,6 +156,8 @@ def shard_spatial_batch(batch: dict, mesh: Mesh) -> dict:
         elif v.ndim >= 3:
             assert v.shape[1] % sp == 0, \
                 f'{k}: H={v.shape[1]} not divisible by sp={sp}'
+            assert v.shape[2] % spw == 0, \
+                f'{k}: W={v.shape[2]} not divisible by spw={spw}'
             out[k] = jax.device_put(v, sh)
         else:
             out[k] = jax.device_put(v, repl)
@@ -144,17 +182,17 @@ def make_spatial_train_step(algo, tx, mean, std, mesh: Mesh,
     replica index to mimic per-rank torch seeds).
 
     The merged student pass (``PFGST.merge_student_passes``) is
-    DISABLED under spatial sharding: on jax 0.9.0, vmapping the model
-    over the stacked {source, mixed} slices while the operand is
-    sharded on BOTH the batch and H axes miscompiles the backward —
-    backbone parameter gradients come out exactly 2x (cosine 0.9997
-    to the true gradient, elementwise ratio 2.0) while the loss and
-    the head gradients stay correct, so only a gradient-level test
-    catches it. Measured on a (data=2, spatial=4) CPU mesh, batch 2,
-    64x32 crops; dp-only and sp-only meshes are exact, and the
-    sequential two-pass path is exact (1e-7) on the combined mesh.
-    Set PFST_SP_MERGE=1 to re-enable (e.g. to re-test on newer
-    toolchains).
+    DISABLED under spatial sharding: on jax 0.9.0, the weight gradient
+    of a vmapped spatial conv whose operand is sharded on BOTH the
+    batch ('data', size N) and H ('spatial') axes comes out exactly
+    N x the true value (the halo-exchange transpose over-reduces
+    across the data axis) while the forward loss stays correct —
+    only a gradient-level test catches it. Distilled to a ~30-line
+    repro: ``tools/repro_gspmd_vmap_conv_grad.py`` (1x1 convs and
+    data=1 meshes are unaffected; factor equals the data-axis size).
+    The sequential two-pass path is exact (1e-7) on the combined
+    mesh. Set PFST_SP_MERGE=1 to re-enable (run the repro first on
+    newer toolchains).
     """
     import copy
     import os

@@ -190,9 +190,13 @@ def test_spatial_train_sp_only_mesh():
     _assert_trees_close(sp_state.params, ref_state.params, atol=2e-5)
 
 
-def test_train_segmentor_end_to_end_sp(tmp_path):
-    """Full train loop with cfg.parallel.sp=2 on the (4, 2) mesh —
-    the apis/train.py wiring (state placement, spatial batch
+import pytest
+
+
+@pytest.mark.parametrize('par', [dict(sp=2), dict(sp=2, spw=2)])
+def test_train_segmentor_end_to_end_sp(tmp_path, par):
+    """Full train loop with cfg.parallel.sp=2 (and the 2-D sp x spw
+    grid) — the apis/train.py wiring (state placement, spatial batch
     sharding, step build) mirrors tests/test_tp.py's tp loop test."""
     import os
 
@@ -214,7 +218,7 @@ def test_train_segmentor_end_to_end_sp(tmp_path):
     norm = dict(mean=MEAN, std=STD, to_rgb=True)
     cfg = Config(dict(
         model=tiny_model_cfg(),
-        parallel=dict(sp=2),
+        parallel=dict(par),
         data=dict(
             samples_per_gpu=1, workers_per_gpu=1,
             train=dict(
@@ -263,3 +267,53 @@ def test_train_cli_sp_flag_reaches_cfg(tmp_path):
         cfg.merge_from_dict({'parallel.sp': args.sp})
     assert cfg.parallel['sp'] == 2
     assert cfg.parallel['other'] == 1
+
+
+# ---- 2-D (H x W) spatial grids ----
+
+def test_spatial2d_inference_matches_single_device():
+    """grid=(2, 4): the scene partitioned on an H x W device grid —
+    for scenes so large even one H stripe exceeds a chip — must match
+    the single-device whole-mode forward."""
+    model, variables = _model_and_vars()
+    scene = jnp.asarray(
+        np.random.RandomState(2).randn(128, 64, 3), jnp.float32)
+    ref, _ = jax.jit(lambda v, im: model.apply(
+        v, im, method=model.inference))(variables, scene[None])
+    out = spatial.spatial_inference(model, variables, scene,
+                                    grid=(2, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-5)
+    # really partitioned in both axes: each shard holds 64x16
+    shard_shapes = {s.data.shape[:2]
+                    for s in out.addressable_shards}
+    assert shard_shapes == {(128 // 2, 64 // 4)}
+
+
+def test_spatial2d_train_step_matches_single_device():
+    """Full PFGST UDA step on a (data=2, spatial=2, spatial_w=2)
+    mesh: both crop axes sharded; same exactness bars as the 1-D
+    test."""
+    algo, tx, state = _tiny_uda_algo()
+    batch = _uda_batch(b=2, h=64, w=32)
+    rng = jax.random.PRNGKey(3)
+    ref_state, ref_lv, _ = algo.make_train_step(
+        tx, MEAN, STD, donate=False)(state, batch, rng)
+
+    mesh = spatial.get_spatial_mesh(2, 2)
+    assert dict(mesh.shape) == {'data': 2, 'spatial': 2,
+                                'spatial_w': 2}
+    from jax.sharding import NamedSharding
+    state_dev = jax.device_put(state, NamedSharding(mesh, P()))
+    step = spatial.make_spatial_train_step(algo, tx, MEAN, STD, mesh)
+    sp_batch = spatial.shard_spatial_batch(batch, mesh)
+    assert sp_batch['img'].sharding.spec == P('data', 'spatial',
+                                              'spatial_w')
+    sp_state, sp_lv, _ = step(state_dev, sp_batch, rng)
+    for k in ref_lv:
+        atol = 0.5 if 'acc' in k else 1e-4
+        np.testing.assert_allclose(float(sp_lv[k]), float(ref_lv[k]),
+                                   atol=atol, err_msg=k)
+    _assert_trees_close(sp_state.params, ref_state.params, atol=2e-5)
+    _assert_trees_close(sp_state.batch_stats, ref_state.batch_stats,
+                        atol=2e-5)
