@@ -234,3 +234,31 @@ def test_serve_max_batch_http_roundtrip():
     finally:
         srv1.shutdown()
         srv4.shutdown()
+
+
+def test_serve_spatial_sharded_forward():
+    """--spatial: each request's forward runs H-sharded over the mesh
+    (huge-scene serving) and the label map matches the unsharded
+    server's on the same input (40 divides by 8 -> no padding ->
+    layout-only sharding)."""
+    import serve
+    srv_plain = serve.build_server(_test_cfg(), port=0)
+    srv_sp = serve.build_server(_test_cfg(), port=0, spatial=8)
+    for srv in (srv_plain, srv_sp):
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rs = np.random.RandomState(5)
+        body = _png(rs.randint(0, 255, (40, 40, 3), np.uint8))
+        masks = []
+        for srv in (srv_plain, srv_sp):
+            url = (f'http://127.0.0.1:{srv.server_address[1]}'
+                   '/predictions/m')
+            status, out = _post(url, body)
+            assert status == 200, out
+            masks.append(cv2.imdecode(np.frombuffer(out, np.uint8),
+                                      cv2.IMREAD_UNCHANGED))
+        assert masks[0].shape == (40, 40)
+        np.testing.assert_array_equal(masks[0], masks[1])
+    finally:
+        srv_plain.shutdown()
+        srv_sp.shutdown()

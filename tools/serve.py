@@ -115,9 +115,11 @@ class Predictor:
     """Checkpointed segmentor with a shape-keyed jit cache."""
 
     def __init__(self, config, checkpoint=None, seed=0,
-                 quant_int8=False, act_scales=None, max_batch=1):
+                 quant_int8=False, act_scales=None, max_batch=1,
+                 spatial=0):
         self.quant_int8 = quant_int8
         self.act_scales = act_scales
+        self.spatial = int(spatial or 0)
         self.max_batch = int(max_batch or 1)
         self._batcher = (_MicroBatcher(self._apply_fn, self.max_batch)
                          if self.max_batch > 1 else None)
@@ -142,8 +144,17 @@ class Predictor:
         fn = self._jitted.get(key)
         if fn is None:
             model = self.model
-            fn = jax.jit(lambda v, im: model.apply(
-                v, im, method=model.inference))
+            if self.spatial:
+                # huge-scene serving: shard each forward's H axis over
+                # the mesh (apis/test.py::make_spatial_inference_fn —
+                # edge-pads non-divisible heights); wrapped to match
+                # model.inference's (probs, states) contract
+                from pfst_tpu.apis.test import make_spatial_inference_fn
+                sp_fn = make_spatial_inference_fn(model, self.spatial)
+                fn = lambda v, im: (sp_fn(v, im), None)  # noqa: E731
+            else:
+                fn = jax.jit(lambda v, im: model.apply(
+                    v, im, method=model.inference))
             self._jitted[key] = fn
         if self.quant_int8:
             # the int8 interceptor must be active at TRACE time; jit
@@ -238,9 +249,11 @@ def make_handler(predictor: Predictor):
 
 
 def build_server(config, checkpoint=None, host='127.0.0.1', port=8080,
-                 quant_int8=False, act_scales=None, max_batch=1):
+                 quant_int8=False, act_scales=None, max_batch=1,
+                 spatial=0):
     predictor = Predictor(config, checkpoint, quant_int8=quant_int8,
-                          act_scales=act_scales, max_batch=max_batch)
+                          act_scales=act_scales, max_batch=max_batch,
+                          spatial=spatial)
     return ThreadingHTTPServer((host, port), make_handler(predictor))
 
 
@@ -258,6 +271,10 @@ def parse_args(args=None):
     p.add_argument('--max-batch', type=int, default=1,
                    help='micro-batch concurrent requests into one '
                         'forward (1 = serialize, torchserve-style)')
+    p.add_argument('--spatial', type=int, default=0,
+                   help='shard each forward\'s H axis over this many '
+                        'devices (huge-scene serving; '
+                        'parallel/spatial.py)')
     return p.parse_args(args)
 
 
@@ -268,7 +285,8 @@ def main(args=None):
         scales = json.load(open(args.act_scales))
     server = build_server(args.config, args.checkpoint, args.host,
                           args.port, quant_int8=args.quant_int8,
-                          act_scales=scales, max_batch=args.max_batch)
+                          act_scales=scales, max_batch=args.max_batch,
+                          spatial=args.spatial)
     print(f'serving on http://{args.host}:{server.server_address[1]}',
           file=sys.stderr)
     try:
