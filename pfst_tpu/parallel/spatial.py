@@ -44,9 +44,15 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
     if grid is not None:
         n_h, n_w = grid
         assert mesh is None, 'pass either mesh or grid, not both'
-        devices = np.asarray(jax.devices()[:n_h * n_w])
-        mesh = Mesh(devices.reshape(n_h, n_w),
-                    (SPATIAL_AXIS, SPATIAL_W_AXIS))
+        # reuse the mesh across calls so the jit cache below (keyed on
+        # shape + grid) actually hits instead of re-tracing per call
+        mesh = (jit_cache or {}).get(('mesh', grid))
+        if mesh is None:
+            devices = np.asarray(jax.devices()[:n_h * n_w])
+            mesh = Mesh(devices.reshape(n_h, n_w),
+                        (SPATIAL_AXIS, SPATIAL_W_AXIS))
+            if jit_cache is not None:
+                jit_cache[('mesh', grid)] = mesh
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
     batched = scene.ndim == 4
@@ -65,7 +71,8 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
             'pad first'
         sharding = spatial_sharding(mesh)
 
-    key = ('spatial', tuple(scene.shape), id(mesh))
+    key = ('spatial', tuple(scene.shape),
+           grid if grid is not None else id(mesh))
     fn = (jit_cache or {}).get(key)
     if fn is None:
         sh = sharding
@@ -181,25 +188,34 @@ def make_spatial_train_step(algo, tx, mean, std, mesh: Mesh,
     step exactly (the dp ``shard_map`` path instead folds in the
     replica index to mimic per-rank torch seeds).
 
-    The merged student pass (``PFGST.merge_student_passes``) is
-    DISABLED under spatial sharding: on jax 0.9.0, the weight gradient
-    of a vmapped spatial conv whose operand is sharded on BOTH the
-    batch ('data', size N) and H ('spatial') axes comes out exactly
-    N x the true value (the halo-exchange transpose over-reduces
-    across the data axis) while the forward loss stays correct —
-    only a gradient-level test catches it. Distilled to a ~30-line
-    repro: ``tools/repro_gspmd_vmap_conv_grad.py`` (1x1 convs and
-    data=1 meshes are unaffected; factor equals the data-axis size).
-    The sequential two-pass path is exact (1e-7) on the combined
-    mesh. Set PFST_SP_MERGE=1 to re-enable (run the repro first on
-    newer toolchains).
+    The merged student pass is DISABLED when the mesh's data axis is
+    wider than 1: on jax 0.9.0, the weight gradient of a vmapped
+    spatial conv whose operand is sharded on BOTH the batch ('data',
+    size N > 1) and a spatial axis comes out exactly N x the true
+    value (the halo-exchange transpose over-reduces across the data
+    axis) while the forward loss stays correct — only a
+    gradient-level test catches it. Distilled to a ~30-line repro:
+    ``tools/repro_gspmd_vmap_conv_grad.py`` (1x1 convs and data=1
+    meshes — including 2-D spatial grids — are unaffected; factor
+    equals the data-axis size). The sequential two-pass path is exact
+    (1e-7) on the combined mesh. Set PFST_SP_MERGE=1 to re-enable
+    (run the repro first on newer toolchains). Both merge-flag
+    conventions are handled: PFGST's ``merge_student_passes``
+    attribute and the DomainAdaptor family's
+    ``cfg['merge_student_passes']`` trace-time gate.
     """
     import copy
     import os
-    if getattr(algo, 'merge_student_passes', False) and \
-            os.environ.get('PFST_SP_MERGE', '0') != '1':
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+    if data_size > 1 and os.environ.get('PFST_SP_MERGE', '0') != '1':
         algo = copy.copy(algo)
-        algo.merge_student_passes = False
+        if getattr(algo, 'merge_student_passes', False):
+            algo.merge_student_passes = False
+        acfg = getattr(algo, 'cfg', None)
+        if hasattr(acfg, 'get') and acfg.get('merge_student_passes',
+                                             True):
+            algo.cfg = dict(acfg)
+            algo.cfg['merge_student_passes'] = False
     inner = algo.make_train_step(tx, mean, std,
                                  collect_vis=collect_vis,
                                  donate=False, axis_name=None,
@@ -207,6 +223,13 @@ def make_spatial_train_step(algo, tx, mean, std, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     step = jax.jit(inner, donate_argnums=(0,),
                    out_shardings=(repl, repl, None))
-    step.merged_student_passes = getattr(algo, 'merge_student_passes',
-                                         False)
+    # observability for the regression test: report the gate the algo
+    # actually reads (PFGST: attribute; DomainAdaptor family: cfg key)
+    if hasattr(algo, 'merge_student_passes'):
+        step.merged_student_passes = bool(algo.merge_student_passes)
+    elif hasattr(getattr(algo, 'cfg', None), 'get'):
+        step.merged_student_passes = bool(
+            algo.cfg.get('merge_student_passes', True))
+    else:
+        step.merged_student_passes = False
     return step

@@ -116,18 +116,41 @@ def _assert_trees_close(a, b, atol):
 
 def test_spatial_step_disables_merged_passes():
     """Regression guard for the GSPMD miscompile: vmapping the model
-    over the stacked {source, mixed} slices with the operand sharded
-    on both batch and H produced exactly-2x backbone gradients
-    (jax 0.9.0; see make_spatial_train_step docstring). The spatial
-    step must therefore build the sequential two-pass inner step."""
+    over stacked student slices with the operand sharded on both the
+    batch ('data' size N > 1) and a spatial axis produces exactly-N x
+    conv gradients (jax 0.9.0; tools/repro_gspmd_vmap_conv_grad.py).
+    The spatial step must build the sequential inner step on dp>1
+    meshes — and KEEP the merged pass on dp=1 meshes, which the repro
+    shows are unaffected."""
     algo, tx, _ = _tiny_uda_algo()
     assert getattr(algo, 'merge_student_passes', False), \
         'precondition: merging is the default'
-    mesh = spatial.get_spatial_mesh(4)
+    mesh = spatial.get_spatial_mesh(4)  # data=2: buggy layout
     step = spatial.make_spatial_train_step(algo, tx, MEAN, STD, mesh)
     assert step.merged_student_passes is False
     # and the algo itself is untouched (copy, not mutation)
     assert algo.merge_student_passes is True
+
+    # dp=1 (sp-only, the tall-crop headline case): merge is kept
+    mesh1 = spatial.get_spatial_mesh(8)
+    step1 = spatial.make_spatial_train_step(algo, tx, MEAN, STD, mesh1)
+    assert step1.merged_student_passes is True
+
+    # the DomainAdaptor family gates merging on cfg, not an attribute
+    from conftest import tiny_model_cfg as tm
+    from pfst_tpu.models.builder import SEGMENTORS
+    cfg = tm()
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptor', backbone=cfg['backbone'],
+        decode_head=cfg['decode_head'],
+        auxiliary_head=cfg['auxiliary_head'], weight_trg=0.5,
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    assert adaptor.cfg.get('merge_student_passes', True)
+    import optax
+    step_a = spatial.make_spatial_train_step(
+        adaptor, optax.sgd(1e-2), MEAN, STD, mesh)
+    assert step_a.merged_student_passes is False
+    assert adaptor.cfg.get('merge_student_passes', True)  # untouched
 
 
 def test_spatial_train_step_matches_single_device():

@@ -17,6 +17,11 @@ Characterization (this script prints all four):
   kernel 3x3, mesh (data=4, spatial=2)  -> ratio 4.0000  (= data size)
   kernel 3x3, mesh (data=1, spatial=8)  -> ratio 1.0000
 
+3-axis meshes behave the same (verified separately): (data=1,
+spatial=2, spatial_w=4) -> 1.0000; (data=2, spatial=2, spatial_w=2)
+-> 2.0000 — the factor is the data-axis size, independent of how
+many spatial axes shard the operand.
+
 Forward losses are CORRECT — only the gradient is wrong, so any
 loss-level "does the sharded step match?" check passes. pfst_tpu
 works around it by running the student passes sequentially instead of
