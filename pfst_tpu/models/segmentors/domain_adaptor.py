@@ -85,7 +85,25 @@ class _DomainAdaptorBase:
 
 @SEGMENTORS.register_module()
 class DomainAdaptor(_DomainAdaptorBase):
-    """Joint src+trg supervised training (``domain_adaptor.py:17``)."""
+    """Joint src+trg supervised training (``domain_adaptor.py:17``).
+
+    ``weight_trg`` scales the whole target-domain CE total; the
+    reference scales the literal ``loss_ce`` keys in place
+    (``domain_adaptor.py:197,211``) — identical for the CE-only heads
+    every shipped config uses (a head configured with a differently
+    named loss would silently dodge the reference's scaling).  Note
+    the reference logs the SCALED trg values; here log_vars carry the
+    unscaled per-loss values and only the total applies the weight.
+    """
+
+    def __init__(self, **cfg):
+        if cfg.get('aux_losses') and type(self) is DomainAdaptor:
+            # the reference's plain DomainAdaptor has no such argument
+            # (``domain_adaptor.py:20-34``) — tensors-dict aux losses
+            # are DomainAdaptorV2's surface
+            raise ValueError('plain DomainAdaptor takes no aux_losses '
+                             '— use DomainAdaptorV2')
+        super().__init__(**cfg)
 
     def init_state(self, rng, img_shape, tx):
         from ..uda.uda_decorator import UDATrainState
@@ -120,7 +138,6 @@ class DomainAdaptor(_DomainAdaptorBase):
 
             def loss_fn(params):
                 log_vars = {}
-                st_trg = None
                 if gt_trg is not None and bn_m is not None:
                     # Merged {src, trg} pass: one vmapped fwd at batch
                     # 2B instead of two sequential applies — same
@@ -146,7 +163,6 @@ class DomainAdaptor(_DomainAdaptorBase):
                         return jax.tree.map(lambda a: a[i], tree)
 
                     l_src, l_trg = take(losses2, 0), take(losses2, 1)
-                    st_src, st_trg = take(states2, 0), take(states2, 1)
                     total, lv = parse_losses(add_prefix(l_src, 'src'))
                     log_vars.update(lv)
                     t_trg, lv = parse_losses(add_prefix(l_trg, 'trg'))
@@ -156,7 +172,7 @@ class DomainAdaptor(_DomainAdaptorBase):
                         lambda u, b0: bn_m * u[0] + u[1] - bn_m * b0,
                         ubs2, state.batch_stats)
                 else:
-                    (l_src, st_src), upd = model.apply(
+                    (l_src, _), upd = model.apply(
                         {'params': params,
                          'batch_stats': state.batch_stats}, img_src,
                         gt_src, train=True, mutable=['batch_stats'],
@@ -166,7 +182,7 @@ class DomainAdaptor(_DomainAdaptorBase):
                     log_vars.update(lv)
                     bs = upd['batch_stats']
                     if gt_trg is not None:
-                        (l_trg, st_trg), upd = model.apply(
+                        (l_trg, _), upd = model.apply(
                             {'params': params, 'batch_stats': bs},
                             img_trg, gt_trg.astype(jnp.int32),
                             train=True, mutable=['batch_stats'],
@@ -178,27 +194,6 @@ class DomainAdaptor(_DomainAdaptorBase):
                         log_vars.update(lv)
                         total = total + t_trg * self.weight_trg
                         bs = upd['batch_stats']
-                if self.aux_losses and st_trg is not None:
-                    # domain_adaptorv2.py: aux losses over the
-                    # collected tensors, like the UDA layer's
-                    tensors = dict(
-                        img_src=img_src, img_trg=img_trg, gt_src=gt_src,
-                        x_src=st_src['features'],
-                        x_trg=st_trg['features'],
-                        logits_src=jax.lax.stop_gradient(
-                            st_src['seg_logits']),
-                        logits_trg=st_trg['seg_logits'])
-                    aux = {}
-                    for lm in self.aux_losses:
-                        out = lm(tensors)
-                        if out:
-                            aux.update(out)
-                    aux = {k: v for k, v in aux.items()
-                           if not k.startswith('vis|')}
-                    if aux:
-                        a_total, lv = parse_losses(aux)
-                        log_vars.update(lv)
-                        total = total + a_total
                 return total, (log_vars, bs)
 
             (total, (log_vars, bs)), grads = jax.value_and_grad(
@@ -222,7 +217,25 @@ class DomainAdaptor(_DomainAdaptorBase):
 
 @SEGMENTORS.register_module()
 class DomainAdaptorAdv(_DomainAdaptorBase):
-    """Adversarial entropy alignment (``domain_adaptor_adv.py:31``)."""
+    """Adversarial entropy alignment (``domain_adaptor_adv.py:31``).
+
+    Phase ordering matches the reference ``train_step``
+    (``domain_adaptor_adv.py:260-318``): ONE generator forward
+    (source supervised + target logits), then the DISCRIMINATOR
+    updates first on detached tensors (:296-305), and the generator's
+    adversarial loss is evaluated against the just-UPDATED, frozen
+    discriminator (:308-318).  Both phases and both optax updates fuse
+    into one jitted program.
+
+    The reference's ``train_cfg.disc_steps`` gate is dead code there:
+    ``self.iteration`` is initialised once and never incremented
+    (:251-253), so ``curr_iter`` is always 0 and the discriminator
+    updates every step — reproduced here by updating every step.
+    One deliberate deviation: the reference's logged ``loss`` is
+    whatever the LAST ``_parse_losses`` call returned (each call's
+    ``loss`` key overwrites the previous — so it logs only the gen
+    adversarial term); here ``loss`` is the meaningful
+    ``gen_total + disc_total``."""
 
     def __init__(self, discriminator=None, disc_losses=None,
                  gen_losses=None, **cfg):
@@ -255,8 +268,10 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
                         jnp.float32)
         disc_vars = self.discriminator.init({'params': r2}, ent)
         if isinstance(tx, dict):
-            tx_model = tx.get('model') or tx.get('backbone') or \
-                list(tx.values())[0]
+            # the reference's optimizer dict keys are 'generator' /
+            # 'discriminator' (domain_adaptor_adv.py:303,316)
+            tx_model = tx.get('model') or tx.get('generator') or \
+                tx.get('backbone') or list(tx.values())[0]
             tx_disc = tx.get('discriminator') or list(tx.values())[-1]
         else:
             tx_model = tx_disc = tx
@@ -273,27 +288,32 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
                         donate=True, axis_name=None, jit=True):
         model, disc = self.model, self.discriminator
         if isinstance(tx, dict):
-            tx_model = tx.get('model') or list(tx.values())[0]
+            tx_model = tx.get('model') or tx.get('generator') or \
+                list(tx.values())[0]
             tx_disc = tx.get('discriminator') or list(tx.values())[-1]
         else:
             tx_model = tx_disc = tx
 
         def forward_tensors(params, bs, img_src, gt_src, img_trg, rng):
+            # ONE generator forward feeding both phases
+            # (domain_adaptor_adv.py:263-294); BN running stats thread
+            # source pass -> target pass (both torch passes run in
+            # train mode and update the buffers in place)
             (l_src, st_src), upd = model.apply(
                 {'params': params, 'batch_stats': bs}, img_src, gt_src,
                 train=True, mutable=['batch_stats'],
                 rngs={'dropout': rng}, method=model.forward_train)
-            out_trg = model.apply(
+            out_trg, upd2 = model.apply(
                 {'params': params, 'batch_stats': upd['batch_stats']},
                 img_trg, train=True,
                 mutable=['batch_stats'],
-                rngs={'dropout': jax.random.fold_in(rng, 1)})[0]
+                rngs={'dropout': jax.random.fold_in(rng, 1)})
             tensors = dict(
                 img_src=img_src, img_trg=img_trg,
                 logits_src=st_src['seg_logits'],
                 logits_trg=out_trg['seg_logits'],
                 x_src=st_src['features'], x_trg=out_trg['feats'])
-            return l_src, tensors, upd['batch_stats']
+            return l_src, tensors, upd2['batch_stats']
 
         def step_fn(state, batch, rng):
             img_src = batch.get('dom1_img', batch.get('img'))
@@ -302,47 +322,63 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
             gt_src = gt_src.astype(jnp.int32)
             img_trg = batch.get('dom2_img', batch.get('target_img'))
 
-            # ---- generator phase -----------------------------------
             def gen_loss_fn(params):
                 l_src, tensors, bs = forward_tensors(
                     params, state.batch_stats, img_src, gt_src,
                     img_trg, rng)
                 total, log_vars = parse_losses(l_src)
+
+                # ---- discriminator phase FIRST
+                # (domain_adaptor_adv.py:296-305): update the disc on
+                # detached tensors.  Computed inside the generator's
+                # value_and_grad so the single forward is shared; every
+                # input is stop_gradient'd, so no second-order terms
+                # leak into the generator gradient.
+                det = jax.lax.stop_gradient(tensors)
+
+                def disc_loss_fn(disc_params):
+                    disc_apply = lambda x: disc.apply(  # noqa: E731
+                        {'params': disc_params}, x)
+                    d_total = 0.0
+                    d_log = {}
+                    for dl in self.disc_losses:
+                        out = dl(disc_apply, det)
+                        t, dlv = parse_losses(out)
+                        d_total = d_total + t
+                        d_log.update(dlv)
+                    return d_total, d_log
+
+                (d_total, d_log), d_grads = jax.value_and_grad(
+                    disc_loss_fn, has_aux=True)(state.disc_params)
+                if axis_name is not None:
+                    d_grads = jax.lax.pmean(d_grads, axis_name)
+                dupd, new_dopt = tx_disc.update(d_grads,
+                                                state.disc_opt_state,
+                                                state.disc_params)
+                new_disc = jax.tree.map(lambda p, u: p + u,
+                                        state.disc_params, dupd)
+
+                # ---- generator adversarial loss against the UPDATED,
+                # frozen discriminator (domain_adaptor_adv.py:308-318)
+                frozen = jax.lax.stop_gradient(new_disc)
                 disc_apply = lambda x: disc.apply(  # noqa: E731
-                    {'params': jax.lax.stop_gradient(
-                        state.disc_params)}, x)
+                    {'params': frozen}, x)
                 for gl in self.gen_losses:
                     out = gl(disc_apply, tensors)
                     g_total, g_log = parse_losses(out)
                     total = total + g_total
                     log_vars.update(g_log)
-                return total, (log_vars, bs, tensors)
+                return total, (log_vars, bs, d_total, d_log, new_disc,
+                               new_dopt)
 
-            (g_total, (log_vars, bs, tensors)), g_grads = \
-                jax.value_and_grad(gen_loss_fn, has_aux=True)(
-                    state.params)
-
-            # ---- discriminator phase -------------------------------
-            def disc_loss_fn(disc_params):
-                disc_apply = lambda x: disc.apply(  # noqa: E731
-                    {'params': disc_params}, x)
-                total = 0.0
-                d_log = {}
-                for dl in self.disc_losses:
-                    out = dl(disc_apply, jax.lax.stop_gradient(tensors))
-                    d_total, dlv = parse_losses(out)
-                    total = total + d_total
-                    d_log.update(dlv)
-                return total, d_log
-
-            (d_total, d_log), d_grads = jax.value_and_grad(
-                disc_loss_fn, has_aux=True)(state.disc_params)
+            (g_total, (log_vars, bs, d_total, d_log, new_disc,
+                       new_dopt)), g_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(state.params)
             log_vars.update(d_log)
             log_vars['loss'] = g_total + d_total
 
             if axis_name is not None:
                 g_grads = jax.lax.pmean(g_grads, axis_name)
-                d_grads = jax.lax.pmean(d_grads, axis_name)
                 log_vars = jax.lax.pmean(log_vars, axis_name)
                 bs = jax.lax.pmean(bs, axis_name)
 
@@ -350,11 +386,6 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
                                            state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params,
                                       upd)
-            dupd, new_dopt = tx_disc.update(d_grads,
-                                            state.disc_opt_state,
-                                            state.disc_params)
-            new_disc = jax.tree.map(lambda p, u: p + u,
-                                    state.disc_params, dupd)
             return state.replace(
                 params=new_params, batch_stats=bs,
                 disc_params=new_disc, opt_state=new_opt,
@@ -367,7 +398,91 @@ class DomainAdaptorAdv(_DomainAdaptorBase):
 
 @SEGMENTORS.register_module()
 class DomainAdaptorV2(DomainAdaptor):
-    """aux-loss variant (``domain_adaptorv2.py:31``)."""
+    """aux-loss variant (``domain_adaptorv2.py:31``).
+
+    The reference V2 step (``domain_adaptorv2.py:245-291``) has NO
+    supervised target loss: total = source decode CE + tensors-dict
+    aux losses + source aux CE.  The target pass is a plain forward
+    feeding ``logits_trg`` / ``logits_trg_aux`` / ``x_trg`` into the
+    aux losses, and ``logits_src`` is NOT detached (:268-281) — aux
+    losses may backprop through the source logits too.  ``weight_trg``
+    is accepted-but-dead exactly as in the reference (defined
+    :50,70, never read).  ``aux_seg_net`` is accepted-but-ignored:
+    its only consumer, the reference ``PseudoLabelLoss``, is
+    unrunnable dev code (unconditional ``pdb.set_trace()``, a
+    nonexistent ``F.cross_entropy_loss`` —
+    ``pseudo_label_loss.py:36-42``); the runnable semantics live in
+    this repo's ``PseudoLabelLoss`` via the ``logits_ema`` tensor key.
+    """
+
+    def __init__(self, aux_seg_net=None, **cfg):
+        super().__init__(**cfg)
+
+    def make_train_step(self, tx, mean, std, collect_vis=False,
+                        donate=True, axis_name=None, jit=True):
+        model = self.model
+
+        def step_fn(state, batch, rng):
+            img_src = batch.get('dom1_img', batch.get('img'))
+            gt_src = batch.get('dom1_gt_semantic_seg',
+                               batch.get('gt_semantic_seg'))
+            gt_src = gt_src.astype(jnp.int32)
+            img_trg = batch.get('dom2_img', batch.get('target_img'))
+            gt_trg = batch.get('dom2_gt_semantic_seg',
+                               batch.get('target_gt_semantic_seg'))
+
+            def loss_fn(params):
+                # source supervised pass (domain_adaptorv2.py:250-265)
+                (l_src, st_src), upd = model.apply(
+                    {'params': params,
+                     'batch_stats': state.batch_stats}, img_src, gt_src,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': rng}, method=model.forward_train)
+                total, log_vars = parse_losses(l_src)
+                # plain target forward, no CE; BN stats thread through
+                out_trg, upd2 = model.apply(
+                    {'params': params,
+                     'batch_stats': upd['batch_stats']}, img_trg,
+                    train=True, mutable=['batch_stats'],
+                    rngs={'dropout': jax.random.fold_in(rng, 1)})
+                bs = upd2['batch_stats']
+                tensors = dict(
+                    img_src=img_src, img_trg=img_trg,
+                    gt_src=gt_src, gt_trg=gt_trg,
+                    x_src=st_src['features'], x_trg=out_trg['feats'],
+                    logits_src=st_src['seg_logits'],
+                    logits_trg=out_trg['seg_logits'],
+                    logits_trg_aux=out_trg['aux_logits'])
+                aux = {}
+                for lm in self.aux_losses:
+                    out = lm(tensors)
+                    if out:
+                        aux.update(out)
+                aux = {k: v for k, v in aux.items()
+                       if not k.startswith('vis|')}
+                if aux:
+                    a_total, lv = parse_losses(aux)
+                    log_vars.update(lv)
+                    total = total + a_total
+                return total, (log_vars, bs)
+
+            (total, (log_vars, bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            log_vars['loss'] = total
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                log_vars = jax.lax.pmean(log_vars, axis_name)
+                bs = jax.lax.pmean(bs, axis_name)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params,
+                                      updates)
+            return state.replace(params=new_params, batch_stats=bs,
+                                 opt_state=new_opt,
+                                 step=state.step + 1), log_vars, {}
+
+        return jax.jit(step_fn, donate_argnums=(0,) if donate and jit
+                       else ()) if jit else step_fn
 
 
 @SEGMENTORS.register_module()

@@ -627,3 +627,297 @@ def test_dacs_one_iteration_golden_trace():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(want_flat[key]),
             rtol=1e-5, atol=1e-6, err_msg=f'EMA param {key}')
+
+
+# ------------- DomainAdaptorAdv golden trace (round 3) ----------------
+class TorchFCDiscriminator(nn.Module):
+    """Twin of ``pfst_tpu/models/discriminators/fc_discriminator.py``
+    (itself mirroring ``rsiseg/.../fc_discriminator.py``: five k4
+    LeakyReLU(0.2) convs then global average).  The pfst_tpu module
+    adds a small-map guard — stride 1 + flax-'SAME' padding once
+    min(H, W) < 4 — so tiny test logits don't collapse to empty
+    tensors; at the reference's production logit sizes every conv runs
+    the reference's stride-2/pad-1 form.  The twin reproduces the
+    guard (flax 'SAME' for k=4, s=1 pads (1, 2) per dim)."""
+
+    def __init__(self, cin, ndf=8):
+        super().__init__()
+        widths = [ndf, ndf * 2, ndf * 4, ndf * 8, 1]
+        for i, w in enumerate(widths):
+            setattr(self, f'conv{i}', nn.Conv2d(cin, w, 4))
+            cin = w
+
+    def forward(self, x):
+        for i in range(5):
+            conv = getattr(self, f'conv{i}')
+            if min(x.shape[2], x.shape[3]) < 4:
+                x = F.conv2d(F.pad(x, (1, 2, 1, 2)), conv.weight,
+                             conv.bias, stride=1)
+            else:
+                x = F.conv2d(x, conv.weight, conv.bias, stride=2,
+                             padding=1)
+            if i < 4:
+                x = F.leaky_relu(x, 0.2)
+        return x.mean(dim=(2, 3), keepdim=True)
+
+
+def _prob2ent_torch(prob):
+    """``adv_loss.py:47-50``."""
+    c = prob.shape[1]
+    return -prob * torch.log2(prob + 1e-30) / np.log2(c)
+
+
+def torch_adv_step(model, disc, batch, opt_gen, opt_disc, w_gen,
+                   w_disc_src, w_disc_trg):
+    """The reference adversarial iteration
+    (``domain_adaptor_adv.py:260-318``): one generator forward ->
+    discriminator updates FIRST on detached entropy maps (:296-305) ->
+    generator's adversarial loss against the UPDATED frozen
+    discriminator (:308-318)."""
+    img = torch.from_numpy(batch['img']).permute(0, 3, 1, 2)
+    gt = torch.from_numpy(batch['gt_semantic_seg']).long()
+    trg = torch.from_numpy(batch['target_img']).permute(0, 3, 1, 2)
+
+    model.train()
+    log = {}
+
+    def ce(logits, label, loss_weight=1.0):
+        up = F.interpolate(logits, size=label.shape[1:],
+                           mode='bilinear', align_corners=False)
+        loss = F.cross_entropy(up, label, ignore_index=255,
+                               reduction='none').mean() * loss_weight
+        valid = label != 255
+        acc = (up.argmax(1)[valid] == label[valid]).float().mean() * 100
+        return loss, float(acc)
+
+    # one generator forward (:263-294); BN buffers update src -> trg
+    feats_src = model.backbone(img)
+    feats_trg = model.backbone(trg)
+    logits_src, _ = model.decode_head(feats_src)
+    aux_src = model.auxiliary_head(feats_src)
+    logits_trg, _ = model.decode_head(feats_trg)
+    model.auxiliary_head(feats_trg)  # ref :284 (output unused by loss)
+
+    loss_dec, acc_dec = ce(logits_src, gt)
+    loss_aux, acc_aux = ce(aux_src, gt, loss_weight=0.4)
+    log['decode.loss_ce'] = float(loss_dec)
+    log['decode.acc_seg'] = acc_dec
+    log['aux.loss_ce'] = float(loss_aux)
+    log['aux.acc_seg'] = acc_aux
+
+    # discriminator phase (:296-305) on detached tensors
+    ent_src = _prob2ent_torch(torch.softmax(logits_src.detach(), 1))
+    ent_trg = _prob2ent_torch(torch.softmax(logits_trg.detach(), 1))
+    d_src, d_trg = disc(ent_src), disc(ent_trg)
+    l_d_src = F.l1_loss(d_src, torch.zeros_like(d_src)) * w_disc_src
+    l_d_trg = F.l1_loss(d_trg, torch.ones_like(d_trg)) * w_disc_trg
+    loss_disc = l_d_src + l_d_trg
+    opt_disc.zero_grad()
+    loss_disc.backward()
+    opt_disc.step()
+    log['loss_disc_src'] = float(l_d_src)
+    log['loss_disc_trg'] = float(l_d_trg)
+
+    # generator adversarial loss vs the UPDATED, frozen disc (:308-318)
+    for p in disc.parameters():
+        p.requires_grad_(False)
+    ent_g = _prob2ent_torch(torch.softmax(logits_trg, 1))
+    d_out = disc(ent_g)
+    l_gen_adv = F.l1_loss(d_out, torch.zeros_like(d_out)) * w_gen
+    log['loss_gen'] = float(l_gen_adv)
+    loss_gen = loss_dec + loss_aux + l_gen_adv
+    opt_gen.zero_grad()
+    loss_gen.backward()
+    opt_gen.step()
+    for p in disc.parameters():
+        p.requires_grad_(True)
+
+    log['loss'] = float(loss_gen) + float(loss_disc)
+    return log
+
+
+def test_v2_one_iteration_golden_trace():
+    """DomainAdaptorV2 (``domain_adaptorv2.py:245-291``): source CE +
+    tensors-dict aux loss (EntropyLoss over the target logits) and NO
+    supervised target loss; post-step params + BN stats match a torch
+    twin of the same composition."""
+    torch.manual_seed(17)
+    model = TorchModel()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    rs = np.random.RandomState(23)
+    batch = {
+        'img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(
+            0, NUM_CLASSES, (2, SIZE, SIZE)).astype(np.int32),
+        'target_img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+    }
+
+    mc = _model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptorV2',
+        backbone=mc['backbone'], decode_head=mc['decode_head'],
+        auxiliary_head=mc['auxiliary_head'],
+        aux_losses=[dict(type='EntropyLoss', loss_type='entropy',
+                         weights={'loss_ent': 0.05})],
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    tx = optax.sgd(1e-2)
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3),
+                               tx)
+    ps, bs = _convert(model)
+    state = state.replace(params=_merge(state.params, ps),
+                          batch_stats=_merge(state.batch_stats, bs))
+    step_fn = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    new_state, log_vars, _ = step_fn(state, batch,
+                                     jax.random.PRNGKey(5))
+    ours = {k: float(v) for k, v in log_vars.items()}
+
+    # ---- torch twin ----
+    img = torch.from_numpy(batch['img']).permute(0, 3, 1, 2)
+    gt = torch.from_numpy(batch['gt_semantic_seg']).long()
+    trg = torch.from_numpy(batch['target_img']).permute(0, 3, 1, 2)
+    model.train()
+    feats_src = model.backbone(img)
+    feats_trg = model.backbone(trg)
+    logits_src, _ = model.decode_head(feats_src)
+    aux_src = model.auxiliary_head(feats_src)
+    logits_trg, _ = model.decode_head(feats_trg)
+    model.auxiliary_head(feats_trg)  # BN-stat parity with __call__
+
+    def ce(logits, label, lw=1.0):
+        up = F.interpolate(logits, size=label.shape[1:],
+                           mode='bilinear', align_corners=False)
+        return F.cross_entropy(up, label, ignore_index=255,
+                               reduction='none').mean() * lw
+
+    loss_dec = ce(logits_src, gt)
+    loss_aux = ce(aux_src, gt, 0.4)
+    # EntropyLoss twin (``entropy_loss.py``: normalised per-class
+    # entropy summed over classes, meaned)
+    prob = torch.softmax(logits_trg, 1)
+    ent = (-prob * torch.log2(prob + 1e-30) / np.log2(NUM_CLASSES))
+    loss_ent = ent.sum(1).mean() * 0.05
+    total = loss_dec + loss_aux + loss_ent
+    opt = torch.optim.SGD(model.parameters(), lr=1e-2)
+    opt.zero_grad()
+    total.backward()
+    opt.step()
+
+    np.testing.assert_allclose(ours['decode.loss_ce'],
+                               float(loss_dec), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours['aux.loss_ce'], float(loss_aux),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours['loss_ent'], float(loss_ent),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours['loss'], float(total), rtol=2e-3,
+                               atol=2e-3)
+    assert not any(k.startswith('trg') for k in ours)
+
+    ps2, bs2 = _convert(model)
+    for got, want_tree, ref_tree, tol in (
+            (new_state.params, ps2, state.params, 1e-3),
+            (new_state.batch_stats, bs2, state.batch_stats, 2e-3)):
+        want = _merge(ref_tree, want_tree)
+        want_flat = {jax.tree_util.keystr(p): v for p, v in
+                     jax.tree_util.tree_leaves_with_path(want)}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(got):
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(want_flat[key]),
+                rtol=tol, atol=3e-5, err_msg=f'post-step {key}')
+
+
+def test_adv_one_iteration_golden_trace():
+    """DomainAdaptorAdv (adversarial family): the fused two-optimizer
+    step matches the torch twin on every log var AND the post-step
+    generator params, discriminator params and BN running stats.
+    Uses SGD on both optimizers (post-step param comparison;
+    adaptive optimizers amplify cross-framework reduction noise)."""
+    torch.manual_seed(9)
+    model = TorchModel()
+    disc = TorchFCDiscriminator(NUM_CLASSES, ndf=8)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    rs = np.random.RandomState(13)
+    batch = {
+        'img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(
+            0, NUM_CLASSES, (2, SIZE, SIZE)).astype(np.int32),
+        'target_img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+    }
+    batch['gt_semantic_seg'][1, -16:] = 255
+
+    mc = _model_cfg()
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptorAdv',
+        backbone=mc['backbone'], decode_head=mc['decode_head'],
+        auxiliary_head=mc['auxiliary_head'],
+        discriminator=dict(type='FCDiscriminator',
+                           num_in_channels=NUM_CLASSES, ndf=8),
+        gen_losses=[dict(type='AdvLoss', loss_type='advent',
+                         net_type='gen',
+                         weights={'loss_gen': 0.02})],
+        disc_losses=[dict(type='AdvLoss', loss_type='advent',
+                          net_type='disc',
+                          weights={'loss_disc_src': 0.5,
+                                   'loss_disc_trg': 0.5})],
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    # reference optimizer-dict keys (domain_adaptor_adv.py:303,316)
+    tx = {'generator': optax.sgd(1e-2), 'discriminator': optax.sgd(5e-2)}
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3),
+                               tx)
+
+    def convert_disc(d):
+        return {f'conv{i}': {
+            'kernel': getattr(d, f'conv{i}').weight.detach().numpy()
+            .transpose(2, 3, 1, 0),
+            'bias': getattr(d, f'conv{i}').bias.detach().numpy()}
+            for i in range(5)}
+
+    ps, bs = _convert(model)
+    state = state.replace(
+        params=_merge(state.params, ps),
+        batch_stats=_merge(state.batch_stats, bs),
+        disc_params=_merge(state.disc_params, convert_disc(disc)))
+
+    step_fn = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    new_state, log_vars, _ = step_fn(state, batch,
+                                     jax.random.PRNGKey(21))
+    ours = {k: float(v) for k, v in log_vars.items()}
+
+    opt_gen = torch.optim.SGD(model.parameters(), lr=1e-2)
+    opt_disc = torch.optim.SGD(disc.parameters(), lr=5e-2)
+    theirs = torch_adv_step(model, disc, batch, opt_gen, opt_disc,
+                            w_gen=0.02, w_disc_src=0.5, w_disc_trg=0.5)
+
+    assert set(theirs) == set(ours), sorted(set(theirs) ^ set(ours))
+    for k in sorted(theirs):
+        np.testing.assert_allclose(
+            ours[k], theirs[k], rtol=2e-3, atol=2e-3,
+            err_msg=f'log var {k} diverges (Adv)')
+
+    # post-step generator params, disc params, BN running stats
+    ps2, bs2 = _convert(model)
+    pd2 = convert_disc(disc)
+    for got, want_tree, ref_tree, tol in (
+            (new_state.params, ps2, state.params, 1e-3),
+            (new_state.disc_params, pd2, state.disc_params, 1e-3),
+            (new_state.batch_stats, bs2, state.batch_stats, 2e-3)):
+        want = _merge(ref_tree, want_tree)
+        want_flat = {jax.tree_util.keystr(p): v for p, v in
+                     jax.tree_util.tree_leaves_with_path(want)}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(got):
+            key = jax.tree_util.keystr(path)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(want_flat[key]),
+                rtol=tol, atol=3e-5, err_msg=f'post-step {key}')

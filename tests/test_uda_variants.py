@@ -353,16 +353,20 @@ def test_domain_adaptor_merged_passes():
 
 
 def test_domain_adaptor_v2_aux_losses():
-    """DomainAdaptorV2 (domain_adaptorv2.py): tensors-dict aux losses
-    (here EntropyLoss on the target logits) added to the joint step."""
+    """DomainAdaptorV2 (domain_adaptorv2.py:245-291): source CE +
+    tensors-dict aux losses (here EntropyLoss on the target logits),
+    and — faithfully to the reference — NO supervised target loss:
+    the target pass only feeds logits/features into the aux losses.
+    The plain DomainAdaptor rejects aux_losses (the reference class
+    has no such argument)."""
     cfg = tiny_model_cfg()
     from pfst_tpu.models.builder import SEGMENTORS
     adaptor = SEGMENTORS.build(dict(
         type='DomainAdaptorV2',
         backbone=cfg['backbone'],
         decode_head=cfg['decode_head'],
-        auxiliary_head=None,
-        weight_trg=0.5,
+        auxiliary_head=cfg['auxiliary_head'],
+        weight_trg=0.5,  # accepted-but-dead, as in the reference
         aux_losses=[dict(type='EntropyLoss', loss_type='entropy',
                          weights={'loss_ent': 0.01})],
         train_cfg=dict(), test_cfg=dict(mode='whole')))
@@ -373,5 +377,21 @@ def test_domain_adaptor_v2_aux_losses():
     b['target_gt_semantic_seg'] = b['gt_semantic_seg']
     state2, log_vars, _ = step(state, b, jax.random.PRNGKey(1))
     assert 'loss_ent' in log_vars
-    assert 'src.decode.loss_ce' in log_vars
+    assert 'decode.loss_ce' in log_vars and 'aux.loss_ce' in log_vars
+    # no supervised target CE anywhere (ref V2 total:
+    # loss_dec_src + loss_aux + loss_aux_src, domain_adaptorv2.py:289)
+    assert not any(k.startswith(('trg', 'src.trg')) for k in log_vars)
     assert np.isfinite(float(log_vars['loss']))
+    np.testing.assert_allclose(
+        float(log_vars['loss']),
+        float(log_vars['decode.loss_ce']) +
+        float(log_vars['aux.loss_ce']) + float(log_vars['loss_ent']),
+        rtol=1e-6)
+
+    with pytest.raises(ValueError, match='DomainAdaptorV2'):
+        SEGMENTORS.build(dict(
+            type='DomainAdaptor', backbone=cfg['backbone'],
+            decode_head=cfg['decode_head'], auxiliary_head=None,
+            aux_losses=[dict(type='EntropyLoss',
+                             weights={'loss_ent': 0.01})],
+            train_cfg=dict(), test_cfg=dict(mode='whole')))
