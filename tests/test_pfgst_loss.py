@@ -20,8 +20,14 @@ WEIGHTS = {'src_pos': 0.1, 'src_neg': 0.1, 'sim_pos': 0.1,
 
 
 def torch_pfgst(tensors_nchw, k, d, top_k, sim_type, sigma, downscale,
-                weights, src_loss_type='mean_std', margin=(0.5, 0.5)):
-    """Independent torch evaluation of the PFGST equations."""
+                weights, src_loss_type='mean_std', margin=(0.5, 0.5),
+                detach_unfold=False, as_tensors=False):
+    """Independent torch evaluation of the PFGST equations.
+
+    ``detach_unfold`` mirrors ``pfgst_loss.py:147-148`` (only the
+    UNFOLDED prob map detaches; the center prob stays differentiable);
+    ``as_tensors=True`` keeps the loss terms as torch tensors so the
+    gradient-level golden trace can backprop through them."""
     unfold = torch.nn.Unfold(kernel_size=k, padding=(k // 2) * d,
                              dilation=d)
     logits_trg = tensors_nchw['logits_trg']
@@ -44,6 +50,8 @@ def torch_pfgst(tensors_nchw, k, d, top_k, sim_type, sigma, downscale,
     # cross prob (cross_prob_type='trg')
     p = torch.softmax(logits_trg, 1)
     q = unfold(p).view(B, C, k * k, H, W)
+    if detach_unfold:
+        q = q.detach()
     cross_pos = (p.unsqueeze(2) * q).sum(1)  # (B,k2,H,W)
     cross_neg = 1 - cross_pos
 
@@ -97,6 +105,8 @@ def torch_pfgst(tensors_nchw, k, d, top_k, sim_type, sigma, downscale,
         lp = torch.zeros(()); ln = torch.zeros(())
     out['loss_sim_pos'] = lp * weights['sim_pos']
     out['loss_sim_neg'] = ln * weights['sim_neg']
+    if as_tensors:
+        return out
     return {n: float(v) for n, v in out.items()}
 
 

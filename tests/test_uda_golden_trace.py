@@ -467,6 +467,147 @@ def test_pfgst_one_iteration_golden_trace(thre_type):
             rtol=2e-3, atol=2e-4, err_msg=f'batch stat {key}')
 
 
+def test_pfgst_gradient_golden_trace():
+    """Gradient-level extension of the PFGST golden trace: the same
+    composed iteration with SGD on both sides, comparing the
+    POST-STEP STUDENT parameters.  The log-var trace above is
+    forward-only and the EMA check is optimizer-independent, so
+    neither can see a misplaced detach/stop_gradient anywhere in the
+    composition — this can.  Gradient paths exercised exactly as the
+    reference wires them (``pfgst.py:312-342`` tensors are NOT
+    detached): the four CE terms through both student passes,
+    loss_src_* through ``x_src`` (the src-pass decoded features), and
+    loss_sim_* through the mixed-pass logits with only the UNFOLDED
+    prob map detached (``pfgst_loss.py:147-148``,
+    ``detach_unfold=True``); the teacher is gradient-free."""
+    torch.manual_seed(0)
+    student = TorchModel()
+    teacher = TorchModel()
+    with torch.no_grad():
+        for mdl in (student, teacher):
+            for m in mdl.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        'img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(
+            0, NUM_CLASSES, (2, SIZE, SIZE)).astype(np.int32),
+        'target_img': rs.randn(2, SIZE, SIZE, 3).astype(np.float32),
+        'target_img_strong_aug': rs.randn(2, SIZE, SIZE, 3).astype(
+            np.float32),
+    }
+    batch['gt_semantic_seg'][0, :8] = 255
+
+    algo = build_train_model(dict(uda=_uda_cfg('all'),
+                                  model=_model_cfg(),
+                                  runner=dict(max_iters=100)))
+    tx = optax.sgd(1e-2)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+    ps, bs = _convert(student)
+    pt, bt = _convert(teacher)
+    state = state.replace(
+        params=_merge(state.params, ps),
+        batch_stats=_merge(state.batch_stats, bs),
+        ema_params=_merge(state.ema_params, pt),
+        ema_batch_stats=_merge(state.ema_batch_stats, bt),
+        step=jnp.asarray(START_STEP, jnp.int32))
+
+    rng = jax.random.PRNGKey(7)
+    step_fn = algo.make_train_step(
+        tx, mean=MEAN, std=STD, jit=True, donate=False,
+        split_compile=False)
+    new_state, _, _ = step_fn(state, batch, rng)
+
+    updated = algo.ema_update(state, algo.alpha)
+    premix = jax.jit(
+        lambda e, eb, b, r: algo.teacher_and_mix(
+            e, eb, b, r, jnp.asarray(MEAN, jnp.float32),
+            jnp.asarray(STD, jnp.float32)))(
+                updated.ema_params, updated.ema_batch_stats, batch, rng)
+    mix_masks = np.asarray(premix['mix_masks'])
+
+    # ---- torch twin with backward ----
+    img = torch.from_numpy(batch['img']).permute(0, 3, 1, 2)
+    gt = torch.from_numpy(batch['gt_semantic_seg']).long()
+    target_img = torch.from_numpy(batch['target_img']).permute(
+        0, 3, 1, 2)
+    target_strong = torch.from_numpy(
+        batch['target_img_strong_aug']).permute(0, 3, 1, 2)
+    masks = torch.from_numpy(mix_masks).float()
+
+    a = min(1.0 - 1.0 / (START_STEP + 1), ALPHA)
+    with torch.no_grad():
+        for pt_, ps_ in zip(teacher.parameters(),
+                            student.parameters()):
+            pt_.mul_(a).add_(ps_, alpha=1.0 - a)
+
+    student.train()
+    teacher.train()
+
+    def ce_t(logits, label, weight=None, lw=1.0):
+        up = F.interpolate(logits, size=label.shape[1:],
+                           mode='bilinear', align_corners=False)
+        raw = F.cross_entropy(up, label, reduction='none',
+                              ignore_index=255)
+        if weight is not None:
+            raw = raw * weight
+        return raw.mean() * lw
+
+    src_logits, src_decoded, src_aux = student(img)
+    total = ce_t(src_logits, gt) + ce_t(src_aux, gt, lw=0.4)
+
+    with torch.no_grad():
+        ema_logits, ema_decoded, _ = teacher(target_img)
+        ema_up = F.interpolate(ema_logits, size=img.shape[2:],
+                               mode='bilinear', align_corners=False)
+        ema_softmax = torch.softmax(ema_up, dim=1)
+        pseudo_prob, pseudo_label = torch.max(ema_softmax, dim=1)
+        large = (pseudo_prob >= TAU).float()
+        pseudo_weight = torch.full_like(pseudo_prob,
+                                        float(large.mean()))
+
+    m = masks.unsqueeze(1)
+    mixed_img = m * img + (1 - m) * target_strong
+    mixed_lbl = (masks * gt.float() +
+                 (1 - masks) * pseudo_label.float()).long()
+    mixed_weight = masks * 1.0 + (1 - masks) * pseudo_weight
+
+    mix_logits, _, mix_aux = student(mixed_img)
+    total = total + ce_t(mix_logits, mixed_lbl, mixed_weight) + \
+        ce_t(mix_aux, mixed_lbl, mixed_weight, lw=0.4)
+
+    tensors = dict(
+        logits_trg=mix_logits,       # NOT detached (pfgst.py:312-327)
+        gt_src=gt,
+        x_ema=ema_decoded,           # teacher: gradient-free
+        x_src=src_decoded,           # NOT detached
+        mix_masks=masks)
+    terms = torch_pfgst(tensors, k=3, d=2, top_k=3,
+                        sim_type='cosine', sigma=None, downscale=0.5,
+                        weights=WEIGHTS, detach_unfold=True,
+                        as_tensors=True)
+    total = total + sum(v for n, v in terms.items() if 'loss' in n)
+
+    opt = torch.optim.SGD(student.parameters(), lr=1e-2)
+    opt.zero_grad()
+    total.backward()
+    opt.step()
+
+    ps2, _ = _convert(student)
+    want = _merge(state.params, ps2)
+    want_flat = {jax.tree_util.keystr(p): v for p, v in
+                 jax.tree_util.tree_leaves_with_path(want)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(
+            new_state.params):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(want_flat[key]),
+            rtol=1e-3, atol=3e-5, err_msg=f'post-step student {key}')
+
+
 # --------------------- DACS golden trace (round 3) ---------------------
 def torch_dacs_step(student, teacher, imnet, batch, mix_masks,
                     iter_idx, fd_lambda, fd_classes):

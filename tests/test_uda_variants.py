@@ -121,6 +121,77 @@ def test_adversarial_adaptor_step():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_adv_sharded_step_matches_single_device():
+    """DomainAdaptorAdv under the dp mesh: the shard_map path (pmean'd
+    disc grads inside the generator's value_and_grad + pmean'd gen
+    grads) must reproduce the single-device step exactly when every
+    replica sees identical data (per-replica BN batch stats then equal
+    the full-batch stats).  Compares POST-STEP params of BOTH networks
+    (SGD; loss-level agreement alone is not sufficient evidence for a
+    sharded training path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pfst_tpu.parallel.mesh import (get_mesh,
+                                        make_sharded_train_step,
+                                        shard_batch)
+    cfg = tiny_model_cfg()
+    # dropout off: the dp path folds a per-replica rng (per-rank torch
+    # seeds), which must not enter this exact-equivalence comparison
+    cfg['decode_head']['dropout_ratio'] = 0.0
+    from pfst_tpu.models.builder import SEGMENTORS
+    adaptor = SEGMENTORS.build(dict(
+        type='DomainAdaptorAdv',
+        backbone=cfg['backbone'],
+        decode_head=cfg['decode_head'],
+        auxiliary_head=None,
+        discriminator=dict(type='FCDiscriminator', num_in_channels=6,
+                           ndf=8),
+        gen_losses=[dict(type='AdvLoss', loss_type='advent',
+                         net_type='gen', weights={'loss_gen': 0.02})],
+        disc_losses=[dict(type='AdvLoss', loss_type='advent',
+                          net_type='disc',
+                          weights={'loss_disc_src': 0.5,
+                                   'loss_disc_trg': 0.5})],
+        train_cfg=dict(), test_cfg=dict(mode='whole')))
+    tx = {'generator': optax.sgd(1e-2),
+          'discriminator': optax.sgd(5e-2)}
+    state = adaptor.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3),
+                               tx)
+    n = jax.device_count()
+    rs = np.random.RandomState(2)
+    one = {
+        'img': rs.randn(1, 64, 64, 3).astype(np.float32),
+        'gt_semantic_seg': rs.randint(0, 6, (1, 64, 64)).astype(
+            np.int32),
+        'target_img': rs.randn(1, 64, 64, 3).astype(np.float32),
+    }
+    batch = {k: jnp.asarray(np.repeat(v, n, axis=0))
+             for k, v in one.items()}
+    rng = jax.random.PRNGKey(4)
+
+    single = adaptor.make_train_step(tx, MEAN, STD, donate=False)
+    s1, lv1, _ = single(state, batch, rng)
+
+    mesh = get_mesh()
+    sh_step = make_sharded_train_step(adaptor, tx, MEAN, STD, mesh)
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    s2, lv2, _ = sh_step(state_r, shard_batch(batch, mesh), rng)
+
+    for k in lv1:
+        np.testing.assert_allclose(float(lv1[k]), float(lv2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # batch_stats tolerance is looser: the full-batch var reduces over
+    # 8xHxW in one pass while the dp path reduces per-shard then
+    # pmeans — same math, different float summation order (~2e-5)
+    for name, a, b, tol in (
+            ('params', s1.params, s2.params, 1e-5),
+            ('disc_params', s1.disc_params, s2.disc_params, 1e-5),
+            ('batch_stats', s1.batch_stats, s2.batch_stats, 1e-4)):
+        d = jax.tree.map(lambda x, y: float(jnp.abs(x - y).max()), a, b)
+        assert max(jax.tree.leaves(d)) < tol, (
+            name, {k: v for k, v in
+                   jax.tree_util.tree_leaves_with_path(d) if v > tol})
+
+
 def test_split_compile_matches_fused():
     """split_compile runs two XLA programs but must produce the same
     losses/updates as the fused step under the same rng."""
