@@ -23,7 +23,7 @@ import numpy as np
 from flax import struct
 
 from ..core.checkpoint import load_checkpoint, save_checkpoint
-from ..core.optimizers import build_optimizer
+from ..core.optimizers import build_optimizers
 from ..datasets import build_dataloader, build_dataset
 from ..models import build_train_model
 from ..models.uda.uda_decorator import UDATrainState
@@ -367,10 +367,18 @@ def train_segmentor(cfg,
     max_iters = max_iters_override or cfg.runner['max_iters']
     algo = build_algorithm(cfg)
     opt_cfg = dict(cfg.get('optimizer_config') or {})
-    tx = build_optimizer(dict(cfg.optimizer), cfg.get('lr_config'),
-                         max_iters, opt_cfg.get('grad_clip'),
-                         opt_cfg.get('cumulative_iters', 1),
-                         opt_cfg.get('skip_nonfinite', 0))
+    # dict-of-optimizers configs (no 'type' key; e.g. the adversarial
+    # DomainAdaptorAdv's generator/discriminator pair, reference
+    # ``core/builder.py:36-90`` + mmcv's dict-optimizer runner) yield
+    # a dict of transforms that the algo's init_state/make_train_step
+    # consume directly
+    tx = build_optimizers(dict(cfg.optimizer), cfg.get('lr_config'),
+                          max_iters, opt_cfg.get('grad_clip'),
+                          opt_cfg.get('cumulative_iters', 1),
+                          opt_cfg.get('skip_nonfinite', 0))
+    if isinstance(tx, dict) and zero_on:
+        raise ValueError('parallel.zero does not compose with a '
+                         'dict-of-optimizers config')
     norm = _img_norm_from_pipeline(cfg)
 
     batch_iter = iter(loader)

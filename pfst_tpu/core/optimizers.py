@@ -252,12 +252,13 @@ def build_optimizer(optimizer_cfg: dict,
 
 
 def build_optimizers(cfg: dict, lr_config=None, max_iters=40000,
-                     grad_clip=None, cumulative_iters=1) -> Any:
+                     grad_clip=None, cumulative_iters=1,
+                     skip_nonfinite: int = 0) -> Any:
     """Multi-optimizer support (``core/builder.py:36-90``): a dict of
     optimizer cfgs (one per submodule) yields a dict of transforms."""
     if 'type' in cfg:
         return build_optimizer(cfg, lr_config, max_iters, grad_clip,
-                               cumulative_iters)
+                               cumulative_iters, skip_nonfinite)
     return {name: build_optimizer(sub, lr_config, max_iters, grad_clip,
-                                  cumulative_iters)
+                                  cumulative_iters, skip_nonfinite)
             for name, sub in cfg.items()}
