@@ -62,7 +62,10 @@ class DiceLoss:
         num_classes = pred.shape[-1]
         probs = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
         valid = (target != ignore)
-        safe = jnp.where(valid, target, 0).astype(jnp.int32)
+        # reference ``dice_loss.py:108-110`` clamps labels to
+        # [0, C-1] — ignored 255s one-hot into class C-1, and the
+        # UN-masked denominator of binary_dice_loss sees them.
+        safe = jnp.clip(target, 0, num_classes - 1).astype(jnp.int32)
         one_hot = jax.nn.one_hot(safe, num_classes)
         loss = dice_loss(probs, one_hot, valid.astype(jnp.float32),
                          self.smooth, self.exponent, self.class_weight,
