@@ -414,11 +414,20 @@ class PFGST(UDADecorator):
                 clean_states['features'][lvl])
             ema_l = ema_feats[lvl] if isinstance(
                 ema_feats, (tuple, list)) else ema_feats
-            fh, fw = src_l.shape[1:3]
+            # the reference's ``one_mix`` UPSAMPLES the feature pair
+            # (nearest) to the full-resolution mask and mixes there
+            # (``dacs_transforms.py:129-144`` target branch via
+            # ``pgst.py:277-281``) — mixing a downsampled mask at
+            # feature resolution disagrees at mask boundaries, so the
+            # full-res blend is kept; the aux loss later nearest-
+            # resizes it back down (``pfgst_loss.py`` get_sim_feat),
+            # reproducing the reference's index arithmetic exactly.
+            mh, mw = mix_masks.shape[1:3]
             from ...ops import resize as _resize
-            m_small = _resize(mix_masks[..., None], size=(fh, fw),
-                              mode='nearest')
-            mixed_ema = m_small * src_l + (1.0 - m_small) * ema_l
+            src_up = _resize(src_l, size=(mh, mw), mode='nearest')
+            ema_up = _resize(ema_l, size=(mh, mw), mode='nearest')
+            m = mix_masks[..., None]
+            mixed_ema = m * src_up + (1.0 - m) * ema_up
             # deliberate reference parity (``pgst.py:284``):
             # ``mixed_ema_feats = [None]*feat_level + [mixed]`` — the
             # reference also drops every other teacher level here, so
