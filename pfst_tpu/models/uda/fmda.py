@@ -9,7 +9,9 @@ tensors.
 ``FMDAMix`` (``fmda_mix.py:54,268-283``) is *not* a self-training
 variant: it runs ClassMix plus the PGST-style mask mixing of
 stop-grad(student source features) with the teacher features at
-``feat_level`` (default 2) — identical step semantics to ``PGST``.
+``feat_level`` (default 2) — PGST step semantics except that the
+student's mixed image blends the PLAIN target view
+(``fmda_mix.py:274``), not the strong-aug view.
 (Despite the name, no Fourier op exists anywhere in the reference.)
 """
 from __future__ import annotations
@@ -31,7 +33,13 @@ class FMDA(PFGST):
 @UDA.register_module()
 class FMDAMix(PGST):
     """ClassMix + ema-feature mask mixing at ``feat_level``
-    (``fmda_mix.py:268-283``; reference default feat_level=2)."""
+    (``fmda_mix.py:268-283``; reference default feat_level=2).
+
+    Unlike PGST/PFGST, the student's mixed image blends the PLAIN
+    target view — ``data=torch.stack((img[i], target_img[i]))`` at
+    ``fmda_mix.py:274`` — not ``target_img_strong_aug``."""
+
+    mix_view = 'target'
 
     def __init__(self, **cfg):
         cfg.setdefault('feat_level', 2)

@@ -123,6 +123,12 @@ class PFGST(UDADecorator):
     # FMDA/PGSTTRG-style: train on the strongly-augmented target view
     # directly instead of ClassMix (``fmda.py:309-325``)
     target_self_training = False
+    # which strong view the self-training pass consumes:
+    # 'jitter_plain' (FMDA, ``fmda.py:309-315``): in-step
+    # ``strong_transform`` jitter/blur of the PLAIN target image;
+    # 'pipeline_strong' (PGSTTRG, ``pgst_trg.py:270-279``): the data
+    # pipeline's ``target_img_strong_aug`` AS-IS, no extra transform.
+    self_training_view = 'jitter_plain'
 
     def _bn_flax_momentum(self):
         return uniform_bn_momentum(self.cfg.get('model', {}))
@@ -258,8 +264,14 @@ class PFGST(UDADecorator):
                 key, m, target_pair=(jnp.ones_like(pw), pw))
             return mixed_img, mixed_lbl, mixed_w
 
-        if self.target_self_training:
-            # FMDA/PGSTTRG: strong-augment the whole target image,
+        if self.target_self_training and \
+                self.self_training_view == 'pipeline_strong':
+            # PGSTTRG (``pgst_trg.py:270-279``): the student trains on
+            # the pipeline's strong-aug view directly against the raw
+            # pseudo-labels; no strong_transform, weight untransformed
+            mixed_img, mixed_lbl = target_img_strong, pseudo_label
+        elif self.target_self_training:
+            # FMDA: strong-augment the whole PLAIN target image,
             # train against the pseudo labels (``fmda.py:309-325``)
             def per_sample_trg(key, im_t, pl):
                 aug, lbl = strong_transform(
@@ -280,7 +292,7 @@ class PFGST(UDADecorator):
             mixed_img, mixed_lbl, pseudo_weight = jax.vmap(per_sample)(
                 sample_keys, mix_masks, img, trg_img,
                 gt, pseudo_label, pseudo_weight)
-        return dict(
+        out = dict(
             ema_logits=ema_logits,
             ema_feats=ema_feats,
             pseudo_label=pseudo_label,
@@ -288,6 +300,28 @@ class PFGST(UDADecorator):
             mix_masks=mix_masks,
             mixed_img=mixed_img,
             mixed_lbl=mixed_lbl.astype(jnp.int32))
+        if getattr(self, 'mix_feat_teacher_forward', False) and not \
+                self.target_self_training:
+            # PGSTMixFeat (``pgst_mix_feat.py:273-277,293-295``): the
+            # second teacher forward consumes a WEAK mix — the same
+            # ClassMix masks and jitter draw applied to the PLAIN
+            # target view — not the student's strong-view blend
+            def per_sample_weak(key, m, im_s, im_t, g, pl):
+                weak, _ = strong_transform(
+                    key, m, data_pair=(im_s, im_t),
+                    target_pair=(g.astype(jnp.float32),
+                                 pl.astype(jnp.float32)),
+                    jitter_gate=jitter_gate, blur_gate=blur_gate,
+                    color_jitter_s=self.color_jitter_s,
+                    color_jitter_p=self.color_jitter_p,
+                    mean=mean, std=std,
+                    denorm_type=self.strong_aug_denorm_type)
+                return weak
+
+            out['mixed_img_weak'] = jax.vmap(per_sample_weak)(
+                sample_keys, mix_masks, img, target_img, gt,
+                pseudo_label)
+        return out
 
     def forward_train(self, params, batch_stats, ema_params,
                       ema_batch_stats, step, batch, rng,
@@ -405,7 +439,8 @@ class PFGST(UDADecorator):
         # those features feed the aux losses)
         if getattr(self, 'mix_feat_teacher_forward', False):
             _, ema_feats = self.teacher_forward(
-                ema_params, ema_batch_stats, mixed_img)
+                ema_params, ema_batch_stats,
+                premix['mixed_img_weak'])
         # ---- PGST ema-feature mixing (``pgst.py:108-115``) -------------
         elif self.mix_ema_feat_level is not None and not \
                 self.target_self_training:
@@ -438,9 +473,15 @@ class PFGST(UDADecorator):
 
         # ---- aux (PFGST) losses (``pfgst.py:312-342``) -----------------
         if self.apply_aux:
+            # FMDA's tensors carry the PLAIN target view as img_trg
+            # (``fmda.py:329``, vis-only consumer); PGSTTRG carries the
+            # strong view (``pgst_trg.py:284``) = its training input
+            img_trg = batch['target_img'] if (
+                self.target_self_training and
+                self.self_training_view == 'jitter_plain') else mixed_img
             tensors = dict(
                 img_src=img,
-                img_trg=mixed_img,
+                img_trg=img_trg,
                 img_mixed=mixed_img,
                 gt_src=gt,
                 x_src=src_feats,

@@ -19,7 +19,8 @@ class PGST(PFGST):
     def __init__(self, **cfg):
         cfg.setdefault('use_decoded_feats', False)
         super().__init__(**cfg)
-        self.feat_level = cfg.get('feat_level', 3)
+        # reference default (``pgst.py:74``)
+        self.feat_level = cfg.get('feat_level', 2)
 
     @property
     def mix_ema_feat_level(self):
@@ -28,7 +29,15 @@ class PGST(PFGST):
 
 @UDA.register_module()
 class PGSTTRG(PFGST):
+    """(``pgst_trg.py``) target self-training on the data pipeline's
+    strongly-augmented view AS-IS: the student trains directly on
+    ``target_img_strong_aug`` against the raw pseudo-labels
+    (``pgst_trg.py:270-279``) — unlike FMDA, NO in-step
+    ``strong_transform`` jitter/blur is applied, and the quality
+    weight map stays untransformed."""
+
     target_self_training = True
+    self_training_view = 'pipeline_strong'
 
     def __init__(self, **cfg):
         cfg.setdefault('use_decoded_feats', False)

@@ -179,6 +179,136 @@ def test_multiscale_suffixes():
             assert np.isfinite(np.asarray(out[f'{stem}_{lvl}'])).all()
 
 
+def _torch_featsim_v1(feats_list, logits, sigmas, weights):
+    """Re-derivation of ``FeatSimLoss.forward``
+    (``feat_sim_loss.py:29-102``; mmcv is unavailable so the reference
+    cannot be imported — equations transcribed line-by-line)."""
+    B, C, H, W = logits.shape
+    p = torch.softmax(logits, 1)
+    q = _unfold(p)                                 # (B,C,k2,H,W)
+    cross_pos = (p.unsqueeze(2) * q).sum(1)        # :54 diag sum
+    # :55 total p_i*q_j mass minus the diagonal
+    total = p.sum(1).unsqueeze(1) * q.sum(1)
+    cross_neg = total - cross_pos
+
+    losses = {}
+    sim_feat = None
+    for idx, ori in enumerate(feats_list):
+        feats = F.interpolate(ori, size=(H, W), mode='nearest')
+        unf = _unfold(feats)
+        dis = ((unf - feats.unsqueeze(2))**2).sum(1)
+        sim_feat = torch.exp(-dis / sigmas[idx]**2)  # (B,k2,H,W)
+        _, idx_max = torch.topk(sim_feat, TOPK + 1, dim=1)
+        _, idx_min = torch.topk(sim_feat, TOPK, dim=1, largest=False)
+        loc_pos = torch.gather(sim_feat, 1, idx_max) * \
+            (-torch.gather(cross_pos, 1, idx_max))
+        loc_neg = (1 - torch.gather(sim_feat, 1, idx_min)) * \
+            (-torch.gather(cross_neg, 1, idx_min))
+        mask = feats[:, 0] > 0                     # :89
+        losses[f'loss_sim_pos_{idx}'] = \
+            loc_pos[mask.unsqueeze(1).expand(-1, TOPK + 1, -1, -1)] \
+            .mean() * weights[idx][0]
+        losses[f'loss_sim_neg_{idx}'] = \
+            loc_neg[mask.unsqueeze(1).expand(-1, TOPK, -1, -1)] \
+            .mean() * weights[idx][1]
+    states = dict(sim_feat=sim_feat.mean(1))       # :100
+    return losses, states
+
+
+def _torch_featsim_v2(sim_list, logits, weights):
+    """Re-derivation of ``FeatSimLossV2.forward``
+    (``feat_sim_loss.py:119-186``), incl. the explicit eye-masked
+    CxC diag/off-diag split (``:132-141``)."""
+    B, C, H, W = logits.shape
+    p = torch.softmax(logits, 1)
+    q = _unfold(p)
+    # build (B,k2,H,W,C,C) exactly as :133-134 does via permute
+    cm = (p.unsqueeze(4).repeat(1, 1, 1, 1, K * K).unsqueeze(2) *
+          q.permute(0, 1, 3, 4, 2).unsqueeze(1))   # (B,C,C,H,W,k2)
+    cm = cm.permute(0, 5, 3, 4, 1, 2)              # (B,k2,H,W,C,C)
+    eye = torch.eye(C, dtype=torch.bool).view(1, 1, 1, 1, C, C) \
+        .expand(B, K * K, H, W, C, C)
+    cross_pos = cm[eye].view(B, K * K, H, W, -1).sum(-1)
+    cross_neg = cm[~eye].view(B, K * K, H, W, -1).sum(-1)
+
+    losses = {}
+    for idx, ori in enumerate(sim_list):
+        sim_feat = F.interpolate(ori, size=(H, W), mode='nearest')
+        _, idx_max = torch.topk(sim_feat, TOPK + 1, dim=1)
+        _, idx_min = torch.topk(sim_feat, TOPK, dim=1, largest=False)
+        loc_pos = torch.gather(sim_feat, 1, idx_max) * \
+            (-torch.gather(cross_pos, 1, idx_max))
+        loc_neg = (1 - torch.gather(sim_feat, 1, idx_min)) * \
+            (-torch.gather(cross_neg, 1, idx_min))
+        mask = sim_feat[:, 0] > 0                  # :173
+        losses[f'loss_sim_pos_{idx}'] = \
+            loc_pos[mask.unsqueeze(1).expand(-1, TOPK + 1, -1, -1)] \
+            .mean() * weights[idx][0]
+        losses[f'loss_sim_neg_{idx}'] = \
+            loc_neg[mask.unsqueeze(1).expand(-1, TOPK, -1, -1)] \
+            .mean() * weights[idx][1]
+    states = dict(sim_feat=sim_list[0].mean(1))    # :184
+    return losses, states
+
+
+def test_featsim_v1_torch_parity():
+    """FeatSimLoss (raw-feature variant) vs the torch re-derivation.
+
+    Feature channel 0 is forced negative on the border ring (width
+    k//2*d) so the reference's own ``feats[:,0]>0`` mask excludes
+    every pixel whose neighborhood touches zero padding — padded
+    neighbors tie in similarity and torch/jax top-k break ties
+    differently (same caveat as the Adaptive tests above)."""
+    rs = np.random.RandomState(7)
+    b, h, w, c, ch = 2, 10, 12, 4, 6
+    logits = rs.randn(b, h, w, c).astype(np.float32)
+    ring = (K // 2) * D
+    feats = []
+    for _ in range(2):
+        f = rs.randn(b, h, w, ch).astype(np.float32)
+        f[..., 0] = np.abs(f[..., 0]) + 0.1
+        f[:, :ring, :, 0] = -1.0
+        f[:, -ring:, :, 0] = -1.0
+        f[:, :, :ring, 0] = -1.0
+        f[:, :, -ring:, 0] = -1.0
+        feats.append(f)
+    sigmas, weights = [SIGMA, 2.0], [(0.5, 0.4), (0.3, 0.2)]
+
+    jl, js = FeatSimLoss(TOPK, D, K, sigmas=sigmas, weights=weights)(
+        [jnp.asarray(f) for f in feats], jnp.asarray(logits))
+    tl, ts = _torch_featsim_v1(
+        [torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats],
+        torch.from_numpy(logits).permute(0, 3, 1, 2), sigmas, weights)
+    _cmp(jl, tl, sorted(tl))
+    np.testing.assert_allclose(np.asarray(js['sim_feat']),
+                               ts['sim_feat'].numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_featsim_v2_torch_parity():
+    """FeatSimLossV2 (precomputed-similarity variant) vs torch,
+    including the nearest resize of half-resolution sim maps (spatial
+    resize never ties the k2 channel axis, so top-k stays
+    deterministic) and the ``sim_feat[:,0]>0`` mask."""
+    rs = np.random.RandomState(8)
+    b, h, w, c = 2, 8, 10, 5
+    logits = rs.randn(b, h, w, c).astype(np.float32)
+    sims = [(rs.rand(b, h // 2, w // 2, K * K) - 0.25)
+            .astype(np.float32),
+            (rs.rand(b, h, w, K * K) - 0.25).astype(np.float32)]
+    weights = [(0.5, 0.4), (0.3, 0.2)]
+
+    jl, js = FeatSimLossV2(TOPK, D, K, weights=weights)(
+        [jnp.asarray(s) for s in sims], jnp.asarray(logits))
+    tl, ts = _torch_featsim_v2(
+        [torch.from_numpy(s).permute(0, 3, 1, 2) for s in sims],
+        torch.from_numpy(logits).permute(0, 3, 1, 2), weights)
+    _cmp(jl, tl, sorted(tl))
+    np.testing.assert_allclose(np.asarray(js['sim_feat']),
+                               ts['sim_feat'].numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_featsim_v1_v2_smoke():
     rs = np.random.RandomState(4)
     logits = jnp.asarray(rs.randn(2, 8, 8, 4).astype(np.float32))
