@@ -44,8 +44,15 @@ def test_symbolic_batch_roundtrip(tmp_path):
                                    np.asarray(want['probs']),
                                    rtol=2e-5, atol=2e-5)
         assert got['labels'].shape == (b, *shape)
-        assert (np.asarray(got['labels'])
-                == np.asarray(want['labels'])).all()
+        # near-tie pixels may argmax apart across XLA fusions; only
+        # pixels whose top-2 margin clears the prob tolerance must
+        # agree (mirrors tools/export_stablehlo.py --verify)
+        wp = np.asarray(want['probs'])
+        top2 = np.partition(wp, -2, axis=-1)[..., -2:]
+        decided = (top2[..., 1] - top2[..., 0]) > 4e-5
+        same = (np.asarray(got['labels'])
+                == np.asarray(want['labels'])) | ~decided
+        assert same.all(), f'{(~same).sum()} decided pixels differ'
 
 
 def test_cli_writes_and_verifies(tmp_path):

@@ -108,17 +108,32 @@ def main(args=None):
         import numpy as np
         import jax
         from jax import export as jexport
+        if a.platforms and jax.default_backend() not in a.platforms:
+            # exp.call can only run on a platform the artifact was
+            # lowered for; e.g. `--platforms tpu` from a CPU process
+            # has nothing local to execute against.
+            print(f'verify: skipped — artifact lowered for '
+                  f'{a.platforms}, current backend is '
+                  f'{jax.default_backend()!r}')
+            return
         exp = jexport.deserialize(blob)
         infer, _ = build_infer(cfg, a.checkpoint, shape)
         x = np.random.RandomState(0).rand(
             a.batch or 2, *shape, 3).astype('float32')
         got = jax.jit(exp.call)(x)
         want = jax.jit(infer)(x)
-        np.testing.assert_allclose(np.asarray(got['probs']),
-                                   np.asarray(want['probs']),
-                                   rtol=2e-5, atol=2e-5)
-        assert (np.asarray(got['labels'])
-                == np.asarray(want['labels'])).all()
+        got_p = np.asarray(got['probs'])
+        want_p = np.asarray(want['probs'])
+        np.testing.assert_allclose(got_p, want_p, rtol=2e-5, atol=2e-5)
+        # labels: the two executables may fuse differently, so pixels
+        # whose top-2 prob margin is inside the prob tolerance can
+        # legitimately argmax apart — compare only decided pixels.
+        top2 = np.partition(want_p, -2, axis=-1)[..., -2:]
+        decided = (top2[..., 1] - top2[..., 0]) > 4e-5
+        same = (np.asarray(got['labels'])
+                == np.asarray(want['labels'])) | ~decided
+        assert same.all(), (
+            f'{(~same).sum()} decided pixels changed label')
         print('verify: deserialized artifact matches direct apply')
 
 
