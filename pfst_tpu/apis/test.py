@@ -26,13 +26,17 @@ def _meta(metas, key, default=None):
 
 
 def make_inference_fn(model, rescale: bool = True):
-    """jitted: (variables, img NHWC) -> softmax probs NHWC."""
+    """jitted: (variables, img NHWC) -> pre-softmax logits NHWC at
+    input size.  View finalization rescales the LOGITS to the original
+    shape and softmaxes after, matching the reference's TTA order
+    (``encoder_decoder.py:284-310``: ``whole_inference`` rescales the
+    logit, ``inference`` softmaxes the result)."""
 
     @jax.jit
     def infer(variables, img):
-        probs, _ = model.apply(variables, img,
-                               method=model.inference)
-        return probs
+        logits, _ = model.apply(variables, img,
+                                method=model.inference_logits)
+        return logits
 
     return infer
 
@@ -60,9 +64,10 @@ def make_spatial_inference_fn(model, n_spatial: int):
         if pad:
             img = jnp.pad(img, ((0, 0), (0, pad), (0, 0), (0, 0)),
                           mode='edge')
-        probs = sp_mod.spatial_inference(model, variables, img, mesh,
-                                         jit_cache=cache)
-        return probs[:, :h] if pad else probs
+        logits = sp_mod.spatial_inference(model, variables, img, mesh,
+                                          jit_cache=cache,
+                                          softmax=False)
+        return logits[:, :h] if pad else logits
 
     return infer
 
@@ -89,21 +94,26 @@ def make_state_fn(model, sim_cfg: Optional[dict] = None):
     return states
 
 
-def _finalize_views(model, view_probs, metas, ori_shape):
-    """Undo TTA flips, rescale each view to ``ori_shape``, average and
-    argmax — identical math for the single- and multi-device paths."""
+def _finalize_views(model, view_logits, metas, ori_shape):
+    """Undo TTA flips, rescale each view's LOGITS to ``ori_shape``,
+    softmax, average and argmax — identical math for the single- and
+    multi-device paths, and the reference's order
+    (``encoder_decoder.py:284-327`` + ``aug_test``: resize logit ->
+    softmax -> flip-undo -> mean over views; flip commutes with the
+    per-pixel softmax)."""
     acc = None
-    for probs, meta in zip(view_probs, metas):
+    for logits, meta in zip(view_logits, metas):
         if meta.get('flip', False):
             dirs = meta.get('flip_direction') or []
             dirs = dirs if isinstance(dirs, list) else [dirs]
             for d in dirs:
-                probs = jnp.flip(probs, axis=2 if d == 'horizontal'
-                                 else 1)
-        if tuple(probs.shape[1:3]) != tuple(ori_shape):
+                logits = jnp.flip(logits, axis=2 if d == 'horizontal'
+                                  else 1)
+        if tuple(logits.shape[1:3]) != tuple(ori_shape):
             from ..ops import resize
-            probs = resize(probs, size=ori_shape, mode='bilinear',
-                           align_corners=model.align_corners)
+            logits = resize(logits, size=ori_shape, mode='bilinear',
+                            align_corners=model.align_corners)
+        probs = jax.nn.softmax(logits, axis=-1)
         acc = probs if acc is None else acc + probs
     return np.asarray(jnp.argmax(acc, axis=-1)[0])
 
@@ -271,12 +281,16 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
     @jax.jit
     def infer_hist(variables, imgs, gts):
         from ..core.evaluation.metrics import intersect_and_union
-        probs = model.apply(variables, imgs, method=model.inference)[0]
-        if probs.shape[1:3] != gts.shape[1:3]:
+        logits = model.apply(variables, imgs,
+                             method=model.inference_logits)[0]
+        if logits.shape[1:3] != gts.shape[1:3]:
             from ..ops import resize
-            probs = resize(probs, size=gts.shape[1:3], mode='bilinear',
-                           align_corners=model.align_corners)
-        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            # resize LOGITS, argmax after — same order as
+            # _finalize_views (softmax is argmax-invariant)
+            logits = resize(logits, size=gts.shape[1:3],
+                            mode='bilinear',
+                            align_corners=model.align_corners)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.vmap(
             lambda p, g: intersect_and_union(
                 p, g, num_classes, ignore_index))(pred, gts)

@@ -289,15 +289,22 @@ class EncoderDecoder(nn.Module):
                                          (preds, count))
         return preds / count, {}
 
+    def inference_logits(self, img, train: bool = False):
+        """Raw (pre-softmax) logits at input size, slide/whole per
+        ``test_cfg.mode`` — the quantity the reference's ``inference``
+        rescales BEFORE softmax (``encoder_decoder.py:284-310``); TTA
+        view finalization consumes this so mixed-scale averaging
+        matches the reference's resize-then-softmax order."""
+        mode = (self.test_cfg or {}).get('mode', 'whole')
+        if mode == 'slide':
+            return self.slide_inference(img, train=train)
+        return self.whole_inference(img, train=train)
+
     def inference(self, img, rescale_size=None, flip: bool = False,
                   flip_direction: str = 'horizontal', train: bool = False):
         """softmax probs with optional rescale + flip-undo
         (``encoder_decoder.py:284-327``)."""
-        mode = (self.test_cfg or {}).get('mode', 'whole')
-        if mode == 'slide':
-            seg_logit, states = self.slide_inference(img, train=train)
-        else:
-            seg_logit, states = self.whole_inference(img, train=train)
+        seg_logit, states = self.inference_logits(img, train=train)
         if rescale_size is not None and tuple(rescale_size) != \
                 tuple(seg_logit.shape[1:3]):
             seg_logit = resize(seg_logit, size=rescale_size,

@@ -29,8 +29,12 @@ def spatial_sharding(mesh: Mesh):
 
 
 def spatial_inference(model, variables, scene, mesh: Mesh = None,
-                      jit_cache: dict = None, grid=None):
+                      jit_cache: dict = None, grid=None,
+                      softmax: bool = True):
     """scene (H, W, C) or (B, H, W, C) -> probs, H-sharded over the mesh.
+
+    ``softmax=False`` returns pre-softmax logits instead — the eval
+    path finalizes views on logits (reference TTA order).
 
     H must divide by the device count times the model's output stride
     (pad the scene first if not). Pass a dict as ``jit_cache`` to reuse
@@ -72,16 +76,16 @@ def spatial_inference(model, variables, scene, mesh: Mesh = None,
         sharding = spatial_sharding(mesh)
 
     key = ('spatial', tuple(scene.shape),
-           grid if grid is not None else id(mesh))
+           grid if grid is not None else id(mesh), softmax)
     fn = (jit_cache or {}).get(key)
     if fn is None:
         sh = sharding
         repl = NamedSharding(mesh, P())
+        method = model.inference if softmax else model.inference_logits
 
         def forward(variables, img):
-            probs, _ = model.apply(variables, img,
-                                   method=model.inference)
-            return probs
+            out, _ = model.apply(variables, img, method=method)
+            return out
 
         fn = jax.jit(forward,
                      in_shardings=(repl, sh), out_shardings=sh)
