@@ -39,7 +39,12 @@ def build_lr_schedule(lr_config: Optional[dict], base_lr: float,
         step = jnp.asarray(step, jnp.float32)
         progress = jnp.clip(step / max_iters, 0.0, 1.0)
         if policy == 'poly':
-            lr = (base_lr - min_lr) * (1.0 - progress)**power + min_lr
+            # (max_iters - step)/max_iters, NOT 1 - step/max_iters:
+            # the latter cancels catastrophically in float32 near the
+            # end of training (rel. error ~2e-3 at iter 39999/40000)
+            remaining = jnp.clip((max_iters - step) / max_iters,
+                                 0.0, 1.0)
+            lr = (base_lr - min_lr) * remaining**power + min_lr
         elif policy == 'fixed':
             lr = jnp.asarray(base_lr)
         elif policy == 'step':
