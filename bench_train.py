@@ -130,7 +130,7 @@ def put_batches(batches):
 
 
 def timed_chain(step, state, batches, rngs, device_put=True,
-                max_inflight=None):
+                max_inflight=None, transfer='inline'):
     """Enqueue len(batches) steps chained through the donated state,
     block once, return (wall_seconds, final_state).
 
@@ -138,6 +138,17 @@ def timed_chain(step, state, batches, rngs, device_put=True,
     device_put, ~430 MB/s on this toolchain vs ~40-60 MB/s for numpy
     execute-arguments — see PERF.md); the put is timed (it happens
     inside the loop, like training).
+
+    ``transfer`` selects how host batches reach the device:
+      * 'inline'   — put batch i+1 on the main thread right after
+                     dispatching step i (overlaps only if device_put
+                     returns before the copy completes);
+      * 'serial'   — put strictly before each dispatch (no overlap
+                     attempt; the round-2/3 loop shape);
+      * 'prefetch' — a background thread device_puts ahead through a
+                     depth-2 queue (the apis/train.py BatchPrefetcher
+                     shape: overlap bounded only by the tunnel's
+                     ability to copy while a program runs).
 
     ``max_inflight`` bounds the async dispatch queue: every queued
     step pins its input batch in HBM, so an unbounded chain holds
@@ -148,20 +159,37 @@ def timed_chain(step, state, batches, rngs, device_put=True,
     round-trip against a multi-second step."""
     import jax
 
+    fetch = None
+    if transfer == 'prefetch' and device_put and isinstance(
+            next(iter(batches[0].values())), np.ndarray):
+        import queue
+        import threading
+        q = queue.Queue(maxsize=2)
+
+        def producer():
+            for b in batches:
+                q.put(jax.device_put(b))
+
+        threading.Thread(target=producer, daemon=True).start()
+        fetch = lambda i: q.get()  # noqa: E731
+
     t0 = time.perf_counter()
     pending = []
     log_vars = None
     nxt = None
     for i, (b, r) in enumerate(zip(batches, rngs)):
-        if device_put and isinstance(
-                next(iter(b.values())), np.ndarray):
-            # double-buffer like apis/train.py: batch i was already
-            # put while step i-1 ran; put batch i+1 right after
-            # dispatching step i so the copy overlaps compute
-            b = jax.device_put(b) if nxt is None else nxt
+        host_batch = isinstance(next(iter(b.values())), np.ndarray)
+        if fetch is not None:
+            b = fetch(i)
+        elif device_put and host_batch:
+            if transfer == 'serial' or nxt is None:
+                b = jax.device_put(b)
+            else:
+                b = nxt
         state, log_vars, _ = step(state, b, r)
-        if device_put and i + 1 < len(batches) and isinstance(
-                next(iter(batches[i + 1].values())), np.ndarray):
+        if fetch is None and transfer == 'inline' and device_put \
+                and i + 1 < len(batches) and isinstance(
+                    next(iter(batches[i + 1].values())), np.ndarray):
             nxt = jax.device_put(batches[i + 1])
         if max_inflight:
             pending.append(log_vars['loss'])
@@ -205,7 +233,9 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
         rngs = [jax.random.fold_in(rng, rep * steps + i)
                 for i in range(steps)]
         dt, state = timed_chain(step, state, batches, rngs,
-                                max_inflight=args.max_inflight)
+                                max_inflight=args.max_inflight,
+                                transfer=getattr(args, 'transfer_mode',
+                                                 'inline'))
         per_iter = dt / steps
         print(f'# rep {rep}: {per_iter:.3f} s/iter '
               f'({batch_size / per_iter:.1f} img/s)')
@@ -222,6 +252,9 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
         's_per_iter': round(best, 4),
         'img_per_sec': round(batch_size / best, 2),
         'unit': 's/iter',
+        'transfer': ('device-resident'
+                     if getattr(args, 'device_inputs', False)
+                     else getattr(args, 'transfer_mode', 'inline')),
     }
     if np.isfinite(flops):
         achieved = flops / best / 1e12
@@ -484,6 +517,13 @@ def main():
     ap.add_argument('--device-inputs', action='store_true',
                     help='pre-transfer batches to device before '
                          'timing (isolates tunnel transfer cost)')
+    ap.add_argument('--transfer-mode', dest='transfer_mode',
+                    default='inline',
+                    choices=['inline', 'serial', 'prefetch'],
+                    help='how host batches reach the device: main-'
+                         'thread put after dispatch (inline), put '
+                         'before dispatch (serial), or a background '
+                         'prefetch thread (prefetch)')
     ap.add_argument('--flops', action='store_true',
                     help='also report compiler-counted FLOPs/MFU')
     ap.add_argument('--json-out', default=None)

@@ -78,6 +78,75 @@ class LazyLogVars(Mapping):
         return dict.get(self._materialize(), k, default)
 
 
+class BatchPrefetcher:
+    """Double-buffered host->device pipeline (VERDICT r3 next #3).
+
+    A daemon thread pulls batches from the loader and ``device_put``s
+    them while the main thread is blocked on device results (the jax
+    blocking wait releases the GIL, and the loader's heavy numpy/cv2
+    work releases it too) — so per-iteration cost approaches
+    ``max(device_time, host_time)`` instead of their sum.  The
+    reference gets the same overlap from torch DataLoader workers +
+    CUDA async H2D (SURVEY §3.3 loader->GPU scatter boundary).
+
+    ``depth`` bounds how far the thread runs ahead (2 = classic double
+    buffering; deterministic resume is unaffected because resume
+    rebuilds the iterator from ``loader.set_position``).  Exceptions
+    in the pipeline re-raise in the training thread.
+    """
+
+    def __init__(self, batch_iter, loader, put, depth: int = 2):
+        import queue
+        import threading
+        self._iter = batch_iter
+        self._loader = loader
+        self._put = put
+        self._q = queue.Queue(maxsize=max(depth, 1))
+        self._err = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name='pfst-prefetch', daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import queue
+        it = self._iter
+        while not self._stop.is_set():
+            try:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(self._loader)
+                    batch = next(it)
+                dev = self._put(batch)
+            except BaseException as e:  # noqa: BLE001 — re-raised
+                self._err = e
+                self._q.put(None)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(dev, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def next(self):
+        dev = self._q.get()
+        if dev is None:
+            raise self._err
+        return dev
+
+    def close(self):
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5.0)
+
+
 def init_random_seed(seed: Optional[int] = None) -> int:
     """(``apis/train.py:21-49``) — in JAX the key is deterministic per
     process; multi-host stays in sync because everyone derives the same
@@ -589,6 +658,14 @@ def train_segmentor(cfg,
     repeat_first = os.environ.get('PFST_REPEAT_FIRST_BATCH') == '1'
     device_batch = put(first)
     t_data = 0.0
+    # double-buffered prefetch: loader + device_put on a background
+    # thread overlap the device wait (PFST_PREFETCH=0 restores the
+    # serial fetch; depth via PFST_PREFETCH=N)
+    prefetch_depth = int(os.environ.get('PFST_PREFETCH', '2') or 0)
+    prefetcher = None
+    if prefetch_depth > 0 and not repeat_first:
+        prefetcher = BatchPrefetcher(batch_iter, loader, put,
+                                     depth=prefetch_depth)
     # quantization-aware fine-tuning: cfg.qat fake-quants every conv/
     # dense during the step's trace (ops/quant.py:qat_training) so the
     # trained weights deploy through tools/test.py --quant-int8
@@ -602,7 +679,13 @@ def train_segmentor(cfg,
                                                   step_rng)
         ctx['iter'] = it + 1
         ctx['state'] = state
-        if not repeat_first:
+        if prefetcher is not None:
+            # data time = residual stall only: how long the loop
+            # actually waited for a batch that wasn't ready
+            t0 = time.time()
+            device_batch = prefetcher.next()
+            t_data += time.time() - t0
+        elif not repeat_first:
             t0 = time.time()
             try:
                 nxt = next(batch_iter)
@@ -704,6 +787,8 @@ def train_segmentor(cfg,
                         f'{metrics[save_best]:.4f} @ iter {it + 1}',
                         logger)
 
+    if prefetcher is not None:
+        prefetcher.close()
     if work_dir and preempt['sig'] is None and \
             (max_iters % ckpt_interval != 0
              or int(state.step) != max_iters):
