@@ -117,7 +117,12 @@ def bench_train_step():
                     batches = bt.put_batches(batches)
                 rngs = [jax.random.fold_in(rng, rep * steps + i)
                         for i in range(steps)]
-                dt, state = bt.timed_chain(step, state, batches, rngs)
+                # 'serial' (put strictly between dispatches) is the
+                # measured optimum for host batches on this backend —
+                # concurrent puts DELAY the running program
+                # (artifacts/bench_train_transfer_r4.log)
+                dt, state = bt.timed_chain(step, state, batches, rngs,
+                                           transfer='serial')
                 per = dt / steps
                 best = per if best is None else min(best, per)
             out[label] = round(best, 4)
@@ -135,7 +140,9 @@ def bench_train_step():
             'full PFGST UDA iteration (EMA+teacher+ClassMix+merged '
             'source/mixed student fwd+bwd+PFGST losses+AdamW), '
             f'{SIZE}^2 batch {batch_size} bf16; '
-            '_with_transfers includes host->device batch transfer')
+            '_with_transfers includes host->device batch transfer '
+            '(serial put — the measured optimum on this backend, '
+            'where concurrent puts delay the running program)')
         return out
 
     try:

@@ -79,15 +79,27 @@ class LazyLogVars(Mapping):
 
 
 class BatchPrefetcher:
-    """Double-buffered host->device pipeline (VERDICT r3 next #3).
+    """Double-buffered host pipeline (VERDICT r3 next #3).
 
-    A daemon thread pulls batches from the loader and ``device_put``s
-    them while the main thread is blocked on device results (the jax
-    blocking wait releases the GIL, and the loader's heavy numpy/cv2
-    work releases it too) — so per-iteration cost approaches
-    ``max(device_time, host_time)`` instead of their sum.  The
-    reference gets the same overlap from torch DataLoader workers +
-    CUDA async H2D (SURVEY §3.3 loader->GPU scatter boundary).
+    A daemon thread pulls batches from the loader (decode / augment /
+    collate — heavy numpy/cv2 work that releases the GIL) while the
+    main thread is blocked on device results, so the host pipeline
+    overlaps device compute.  The reference gets the same overlap from
+    torch DataLoader workers (SURVEY §3.3 loader->GPU boundary).
+
+    WHERE the ``device_put`` happens is backend-dependent
+    (``PFST_PREFETCH_PUT``):
+
+    * ``main`` (default) — the training thread puts strictly BETWEEN
+      step dispatches.  Measured on the tunneled backend
+      (`artifacts/bench_train_transfer_r4.log`): a put issued while a
+      program runs not only fails to overlap, it DELAYS the program
+      (serial 0.399 s/iter vs concurrent-put 0.57-0.59 against a
+      0.239 pure step), so strictly-alternating put+execute is the
+      optimum there.
+    * ``thread`` — the prefetch thread puts; on directly-attached TPU
+      hosts H2D DMA overlaps execution and this hides the copy
+      entirely.
 
     ``depth`` bounds how far the thread runs ahead (2 = classic double
     buffering; deterministic resume is unaffected because resume
@@ -95,12 +107,17 @@ class BatchPrefetcher:
     in the pipeline re-raise in the training thread.
     """
 
-    def __init__(self, batch_iter, loader, put, depth: int = 2):
+    def __init__(self, batch_iter, loader, put, depth: int = 2,
+                 put_in_thread: Optional[bool] = None):
         import queue
         import threading
+        if put_in_thread is None:
+            put_in_thread = os.environ.get(
+                'PFST_PREFETCH_PUT', 'main') == 'thread'
         self._iter = batch_iter
         self._loader = loader
         self._put = put
+        self._put_in_thread = put_in_thread
         self._q = queue.Queue(maxsize=max(depth, 1))
         self._err = None
         self._stop = threading.Event()
@@ -118,23 +135,24 @@ class BatchPrefetcher:
                 except StopIteration:
                     it = iter(self._loader)
                     batch = next(it)
-                dev = self._put(batch)
+                item = self._put(batch) if self._put_in_thread \
+                    else batch
             except BaseException as e:  # noqa: BLE001 — re-raised
                 self._err = e
                 self._q.put(None)
                 return
             while not self._stop.is_set():
                 try:
-                    self._q.put(dev, timeout=0.5)
+                    self._q.put(item, timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     def next(self):
-        dev = self._q.get()
-        if dev is None:
+        item = self._q.get()
+        if item is None:
             raise self._err
-        return dev
+        return item if self._put_in_thread else self._put(item)
 
     def close(self):
         self._stop.set()

@@ -35,21 +35,32 @@ import numpy as np
 sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 
-def count_dispatch_ops(compiled) -> int:
-    """Count dispatchable roots in the optimized HLO entry module."""
+def count_dispatch_ops(compiled):
+    """(entry_ops, conv_ops): ops in the ENTRY computation of the
+    optimized HLO (what the TPU executor actually sequences), and how
+    many of them are convolution/dot roots."""
     try:
         txt = compiled.as_text()
     except Exception:
-        return -1
-    # entry computation lines like:  %x = f32[...] fusion(...),
-    # plus non-fused roots: convolution/custom-call/all-reduce/copy
-    n = 0
-    for op in ('fusion', 'convolution', 'custom-call', 'all-reduce',
-               'all-gather', 'reduce-scatter', 'copy-start',
-               'dynamic-slice', 'dynamic-update-slice', 'scatter',
-               'while'):
-        n += len(re.findall(rf'= [^=]*{op}\(', txt))
-    return n
+        return -1, -1
+    m = re.search(r'^ENTRY [^{]+\{(.*?)^\}', txt,
+                  re.MULTILINE | re.DOTALL)
+    if not m:
+        return -1, -1
+    body = m.group(1)
+    skip = ('parameter(', 'constant(', 'get-tuple-element(',
+            ' tuple(', 'bitcast(')
+    n = conv = 0
+    for line in body.splitlines():
+        if ' = ' not in line:
+            continue
+        if any(s in line for s in skip):
+            continue
+        n += 1
+        if 'convolution(' in line or ' dot(' in line or \
+                'custom-call' in line and 'Conv' in line:
+            conv += 1
+    return n, conv
 
 
 def cost(compiled):
@@ -80,8 +91,10 @@ def probe_machine(jnp, jax):
             best = dt if best is None else min(best, dt)
         return best
 
-    # per-op: unrolled chain of dependent tiny convs (each its own
-    # dispatch, negligible FLOPs/bytes)
+    # per-op floors: unrolled chains of dependent tiny ops (each its
+    # own dispatch, negligible FLOPs/bytes).  Convs carry a much
+    # higher fixed cost than fused elementwise ops on this backend,
+    # so both floors are probed.
     xc = jnp.asarray(rs.randn(1, 8, 8, 8), jnp.bfloat16)
     wc = jnp.asarray(rs.randn(1, 1, 8, 8) * 0.1, jnp.bfloat16)
     DN = ('NHWC', 'HWIO', 'NHWC')
@@ -93,7 +106,20 @@ def probe_machine(jnp, jax):
                                          dimension_numbers=DN)
         return x.astype(jnp.float32).sum()
 
-    per_op = timed(chain64, (xc, wc), 64)
+    per_conv = timed(chain64, (xc, wc), 64)
+
+    xe = jnp.asarray(rs.randn(8, 128), jnp.float32)
+
+    @jax.jit
+    def chain_ew(x):
+        for i in range(64):
+            x = jnp.tanh(x * jnp.float32(1.0 + 1e-6 * i))
+            # keep the 64 steps as 64 separate dispatches — without
+            # the barrier XLA fuses the whole chain into one op
+            x = lax.optimization_barrier(x)
+        return x.sum()
+
+    per_ew = timed(chain_ew, (xe,), 64)
 
     # peak matmul (bf16)
     a = jnp.asarray(rs.randn(4096, 4096) * 0.02, jnp.bfloat16)
@@ -120,7 +146,7 @@ def probe_machine(jnp, jax):
 
     # 10 iterations, each reads+writes 64 MB
     bw = 2 * 64 * 1024 * 1024 * 10 / timed(ew, (v,), 1)
-    return per_op, peak, bw
+    return per_conv, per_ew, peak, bw
 
 
 def main():
@@ -136,11 +162,12 @@ def main():
 
     import bench_train as bt
 
-    per_op, peak, bw = probe_machine(jnp, jax)
+    per_conv, per_ew, peak, bw = probe_machine(jnp, jax)
     print(json.dumps({'probe': 'machine',
-                      'per_op_us': round(per_op * 1e6, 1),
+                      'per_conv_op_us': round(per_conv * 1e6, 1),
+                      'per_elementwise_op_us': round(per_ew * 1e6, 1),
                       'peak_tflops': round(peak / 1e12, 1),
-                      'hbm_gbps': round(bw / 1e9, 1)}))
+                      'stream_gbps': round(bw / 1e9, 1)}))
 
     algo, state, step = bt.build(args.batch, args.size, args.dtype)
     progs = step.programs
@@ -207,38 +234,36 @@ def main():
                    .ravel()[:1])
     meas['opt'] = (time.perf_counter() - t0) / args.steps
 
-    total_meas = total_model = total_ops = 0.0
-    total_flop = 0.0
+    total_meas = total_floor = total_flop = 0.0
     for name in ('ema', 'teacher', 'mix', 'opt'):
-        ops = count_dispatch_ops(lowered[name])
+        ops, convs = count_dispatch_ops(lowered[name])
         fl, by = cost(lowered[name])
-        t_ops = ops * per_op if ops > 0 else float('nan')
+        # dispatch floor: convs at the conv fixed cost, everything
+        # else at the elementwise fixed cost
+        floor = (convs * per_conv + (ops - convs) * per_ew) \
+            if ops > 0 else float('nan')
         t_flop = fl / peak if np.isfinite(fl) else float('nan')
-        t_hbm = by / bw if np.isfinite(by) else float('nan')
-        model = (t_ops if np.isfinite(t_ops) else 0.0) + \
-            max(t_flop if np.isfinite(t_flop) else 0.0,
-                t_hbm if np.isfinite(t_hbm) else 0.0)
-        rec = {'program': name, 'dispatch_ops': ops,
+        rec = {'program': name, 'entry_ops': ops, 'conv_ops': convs,
                'gflop': round(fl / 1e9, 1),
-               'gbytes': round(by / 1e9, 2),
+               'gbytes_accessed': round(by / 1e9, 2),
                'measured_s': round(meas[name], 4),
-               'model_ops_s': round(t_ops, 4),
-               'model_flop_s': round(t_flop, 4),
-               'model_hbm_s': round(t_hbm, 4),
-               'model_total_s': round(model, 4)}
+               'dispatch_floor_s': round(floor, 4),
+               'flop_time_s': round(t_flop, 4)}
         print(json.dumps(rec))
         total_meas += meas[name]
-        total_model += model
-        total_ops += t_ops if np.isfinite(t_ops) else 0.0
+        total_floor += floor if np.isfinite(floor) else 0.0
         total_flop += fl if np.isfinite(fl) else 0.0
 
     mfu = total_flop / total_meas / peak * 100
     print(json.dumps({
         'probe': 'roofline-summary', 'batch': args.batch,
-        'measured_s_per_iter': round(total_meas, 4),
-        'model_s_per_iter': round(total_model, 4),
-        'dispatch_overhead_s': round(total_ops, 4),
-        'dispatch_share_pct': round(100 * total_ops / total_meas, 1),
+        'measured_sum_s': round(total_meas, 4),
+        'dispatch_floor_sum_s': round(total_floor, 4),
+        'flop_time_sum_s': round(total_flop / peak, 4),
+        'dispatch_floor_share_pct': round(
+            100 * total_floor / total_meas, 1),
+        'flop_share_pct': round(
+            100 * total_flop / peak / total_meas, 1),
         'mfu_pct_vs_measured_peak': round(mfu, 1)}))
 
 

@@ -79,18 +79,23 @@ def main():
             0, iters, lambda i, v: 0.999 * (v @ m) / 4096.0, x)
 
     heavy_j = jax.jit(heavy, static_argnums=1)
-    # calibrate iters so the program runs >= 4x the put time
-    iters = 8
+    # calibrate iters so the program RUNS (compile excluded) >= 4x the
+    # put time; vary the input each timing call — identical executions
+    # can be elided by this backend
+    rs2 = np.random.RandomState(2)
+    iters = 256
     while True:
-        x = jnp.asarray(np.random.RandomState(2).rand(4096, 4096)
-                        .astype(np.float32))
+        x = jnp.asarray(rs2.rand(4096, 4096).astype(np.float32))
+        _ = np.asarray(heavy_j(x, iters)[:1, :1])   # compile + warm
+        x = jnp.asarray(rs2.rand(4096, 4096).astype(np.float32))
         t0 = time.perf_counter()
         _ = np.asarray(heavy_j(x, iters)[:1, :1])
         ht = time.perf_counter() - t0
-        if ht >= max(4 * put_t, 0.8) or iters >= 4096:
+        if ht >= max(4 * put_t, 0.8) or iters >= 65536:
             break
-        iters *= 2
-    print(f'heavy program: {ht:.2f} s at {iters} iters')
+        iters *= 4
+    print(f'heavy program: {ht:.2f} s per run at {iters} iters '
+          '(compile excluded)')
 
     # end-to-end differential: a chain of N heavy programs, (a) bare,
     # (b) one main-thread put between dispatches, (c) puts issued from
@@ -113,12 +118,15 @@ def main():
                 datas.append(jax.device_put(buf))
                 j += 1
 
+        # fresh start value per variant — identical chains can be
+        # elided by the backend
+        x0 = jnp.asarray(rs2.rand(4096, 4096).astype(np.float32))
         t0 = time.perf_counter()
         th = None
         if puts == 'thread':
             th = threading.Thread(target=bg, daemon=True)
             th.start()
-        xx = x
+        xx = x0
         for i in range(N):
             xx = heavy_j(xx, iters)
             outs.append(xx)
