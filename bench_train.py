@@ -49,7 +49,8 @@ def make_batch(rs, b, size):
 
 
 def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
-          split=True, fused=False, with_cp=False, no_merge=False):
+          split=True, fused=False, with_cp=False, no_merge=False,
+          flat_opt=False):
     import jax
     import optax
 
@@ -75,6 +76,12 @@ def build(batch_size, size, dtype, no_aux=False, no_strongaug=False,
     algo = build_train_model(dict(uda=uda, model=model_cfg,
                                   runner=dict(max_iters=40000)))
     tx = optax.adamw(6e-5, b1=0.9, b2=0.999, weight_decay=0.01)
+    if flat_opt:
+        # A/B: run the optimizer on ONE flattened vector — collapses
+        # the ~10-ops-per-leaf AdamW tree update (~300 leaves) into a
+        # handful of fused vector ops (dispatch-floor lever, see
+        # artifacts/roofline_r4.log)
+        tx = optax.flatten(tx)
     state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
     step = algo.make_train_step(
         tx, mean=[123.675, 116.28, 103.53],
@@ -213,6 +220,8 @@ def run_one(batch_size, dtype, size, steps, reps, warmup, args):
                               fused=args.fused,
                               with_cp=getattr(args, 'with_cp', False),
                               no_merge=getattr(args, 'no_merge',
+                                               False),
+                              flat_opt=getattr(args, 'flat_opt',
                                                False))
     rs = np.random.RandomState(0)
     rng = jax.random.PRNGKey(42)
@@ -507,6 +516,10 @@ def main():
                     help='sequential source/mixed student passes '
                          'instead of the merged vmapped pass (A/B '
                          'for the per-op-overhead optimization)')
+    ap.add_argument('--flat-opt', dest='flat_opt',
+                    action='store_true',
+                    help='optax.flatten the optimizer (single-vector '
+                         'AdamW update; dispatch-floor A/B)')
     ap.add_argument('--with-cp', dest='with_cp', action='store_true',
                     help='per-block remat in the backbone (fits '
                          'batch >= 16 at 512^2)')
