@@ -407,3 +407,236 @@ def test_pfgst_trajectory_golden_trace(thre_type):
                 for k, v in flat_np(
                     _merge(state.params, ps2)).items())
     assert moved > 5e-3, f'trajectory barely moved params ({moved})'
+
+
+# ----------------- DACS trajectory (second family) --------------------
+def torch_dacs_full_step(student, teacher, imnet, batch, masks_np, i,
+                         opt, fd_lambda, fd_classes):
+    """One DACS iteration (``rsiseg/models/uda/dacs.py``) WITH
+    backward + AdamW at the mmcv per-iter lr: source CE + frozen-model
+    feature-distance + teacher pseudo-labels (thre 'all') + PLAIN-view
+    ClassMix + mixed CE."""
+    lr = mmcv_poly_warmup_lr(i)
+    for g in opt.param_groups:
+        g['lr'] = lr
+
+    img = torch.from_numpy(batch['img']).permute(0, 3, 1, 2)
+    gt = torch.from_numpy(batch['gt_semantic_seg']).long()
+    target_img = torch.from_numpy(batch['target_img']).permute(
+        0, 3, 1, 2)
+    masks = torch.from_numpy(np.array(masks_np)).float()
+
+    a = min(1.0 - 1.0 / (i + 1), ALPHA)
+    with torch.no_grad():
+        for pt, ps in zip(teacher.parameters(), student.parameters()):
+            pt.mul_(a).add_(ps, alpha=1.0 - a)
+
+    student.train()
+    teacher.train()
+    imnet.train()
+    log = {}
+
+    def ce_t(logits, label, weight=None, lw=1.0, prefix=''):
+        up = F.interpolate(logits, size=label.shape[1:],
+                           mode='bilinear', align_corners=False)
+        raw = F.cross_entropy(up, label, reduction='none',
+                              ignore_index=255)
+        if weight is not None:
+            raw = raw * weight
+        loss = raw.mean() * lw
+        valid = label != 255
+        acc = (up.argmax(1)[valid] == label[valid]).float().mean() * 100
+        log[f'{prefix}loss_ce'] = loss
+        log[f'{prefix}acc_seg'] = acc.detach()
+        return loss
+
+    feats = student.backbone(img)
+    src_logits, _ = student.decode_head(feats)
+    src_aux = student.auxiliary_head(feats)
+    total = ce_t(src_logits, gt, prefix='decode.') + \
+        ce_t(src_aux, gt, lw=0.4, prefix='aux.')
+
+    # fdist on stage-4 feats vs the frozen imnet copy (``dacs.py:
+    # 151-161,204-211``)
+    with torch.no_grad():
+        f_imnet = imnet.backbone(img)[-1]
+    f_stu = feats[-1]
+    diff = torch.sqrt(((f_stu - f_imnet) ** 2).sum(dim=1) + 1e-12)
+    scale = gt.shape[1] // f_stu.shape[2]
+    gt_small = gt[:, ::scale, ::scale]
+    m = torch.zeros_like(gt_small, dtype=torch.bool)
+    for c in fd_classes:
+        m = m | (gt_small == c)
+    eps = float(np.finfo(np.float32).eps)
+    fd = (diff * m.float()).sum() / (m.float().sum() + eps) * fd_lambda
+    log['loss_imnet_feat_dist'] = fd
+    total = total + fd
+
+    with torch.no_grad():
+        ema_logits, _, _ = teacher(target_img)
+        ema_up = F.interpolate(ema_logits, size=img.shape[2:],
+                               mode='bilinear', align_corners=False)
+        ema_softmax = torch.softmax(ema_up, dim=1)
+        pseudo_prob, pseudo_label = torch.max(ema_softmax, dim=1)
+        large = (pseudo_prob >= TAU).float()
+        pseudo_weight = torch.full_like(pseudo_prob,
+                                        float(large.mean()))
+
+    mm = masks.unsqueeze(1)
+    mixed_img = mm * img + (1 - mm) * target_img   # PLAIN target view
+    mixed_lbl = (masks * gt.float() +
+                 (1 - masks) * pseudo_label.float()).long()
+    mixed_weight = masks * 1.0 + (1 - masks) * pseudo_weight
+
+    mix_logits, _, mix_aux = student(mixed_img)
+    total = total + \
+        ce_t(mix_logits, mixed_lbl, mixed_weight,
+             prefix='mix.decode.') + \
+        ce_t(mix_aux, mixed_lbl, mixed_weight, lw=0.4,
+             prefix='mix.aux.')
+
+    opt.zero_grad()
+    total.backward()
+    opt.step()
+    out = {k: float(v.detach() if torch.is_tensor(v) else v)
+           for k, v in log.items()}
+    out['loss'] = float(total.detach())
+    return out
+
+
+def test_dacs_trajectory_golden_trace():
+    """8-step DACS trajectory with the same segmented teacher-forcing
+    design as the PFGST trace: per-step log vars, exact optax count,
+    per-2-step elementwise param/EMA/BN parity, frozen imnet copy
+    bitwise untouched throughout."""
+    N = 8
+    torch.manual_seed(3)
+    student = TorchModel()
+    teacher = TorchModel()
+    imnet = TorchModel()
+    with torch.no_grad():
+        for mdl in (student, teacher):
+            for m in mdl.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+
+    rs = np.random.RandomState(17)
+    batches = [_make_batch(rs) for _ in range(N)]
+    fd_classes = [2, 3]
+    fd_lambda = 0.01
+    uda = dict(
+        type='DACS', alpha=ALPHA, pseudo_threshold=TAU,
+        pseudo_weight_ignore_top=0, pseudo_weight_ignore_bottom=0,
+        imnet_feature_dist_lambda=fd_lambda,
+        imnet_feature_dist_classes=fd_classes, mix='class',
+        blur=False, color_jitter_strength=0.2,
+        color_jitter_probability=1.0)
+    algo = build_train_model(dict(uda=uda, model=_model_cfg(),
+                                  runner=dict(max_iters=MAX_ITERS)))
+    tx = build_optimizer(
+        dict(type='AdamW', lr=BASE_LR, betas=BETAS, weight_decay=WD,
+             eps=EPS),
+        lr_config=dict(policy='poly', warmup='linear',
+                       warmup_iters=WARMUP_ITERS,
+                       warmup_ratio=WARMUP_RATIO, power=1.0,
+                       min_lr=0.0),
+        max_iters=MAX_ITERS)
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3), tx)
+    ps, bs = _convert(student)
+    pt, bt = _convert(teacher)
+    pi, _ = _convert(imnet)
+    state = state.replace(
+        params=_merge(state.params, ps),
+        batch_stats=_merge(state.batch_stats, bs),
+        ema_params=_merge(state.ema_params, pt),
+        ema_batch_stats=_merge(state.ema_batch_stats, bt),
+        imnet_params=_merge(state.imnet_params, pi))
+
+    def flat_np(tree):
+        return {jax.tree_util.keystr(p): np.array(v) for p, v in
+                jax.tree_util.tree_leaves_with_path(tree)}
+
+    imnet_before = flat_np(state.imnet_params)
+
+    step_fn = algo.make_train_step(
+        tx, mean=MEAN, std=STD, jit=True, donate=False,
+        split_compile=False)
+    premix_jit = jax.jit(
+        lambda e, eb, b, r: algo.teacher_and_mix(
+            e, eb, b, r, jnp.asarray(MEAN, jnp.float32),
+            jnp.asarray(STD, jnp.float32)))
+    opt = torch.optim.AdamW(student.parameters(), lr=BASE_LR,
+                            betas=BETAS, weight_decay=WD, eps=EPS)
+    base_rng = jax.random.PRNGKey(23)
+
+    def compare_motion(got_tree, want_torch, ref_tree, seg_init,
+                       frac, floor, what):
+        want_flat = flat_np(_merge(ref_tree, want_torch))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                got_tree):
+            key = jax.tree_util.keystr(path)
+            drift = float(np.max(np.abs(np.asarray(leaf)
+                                        - want_flat[key])))
+            motion = float(np.max(np.abs(want_flat[key]
+                                         - seg_init[key])))
+            assert drift <= frac * motion + floor, (
+                f'{what} {key}: drift {drift:.2e} exceeds '
+                f'{frac}*motion({motion:.2e}) + {floor:.0e}')
+
+    seg_p = flat_np(state.params)
+    seg_e = flat_np(state.ema_params)
+    seg_b = flat_np(state.batch_stats)
+
+    for i in range(N):
+        rng = jax.random.fold_in(base_rng, i)
+        updated = algo.ema_update(state, algo.alpha)
+        premix = premix_jit(updated.ema_params,
+                            updated.ema_batch_stats, batches[i], rng)
+        masks_np = np.asarray(premix['mix_masks'])
+        assert 0.0 < masks_np.mean() < 1.0
+
+        state, log_vars, _ = step_fn(state, batches[i], rng)
+        ours = {k: float(v) for k, v in log_vars.items()}
+        theirs = torch_dacs_full_step(student, teacher, imnet,
+                                      batches[i], masks_np, i, opt,
+                                      fd_lambda, fd_classes)
+        assert set(theirs) == set(ours), (
+            i, sorted(set(theirs) ^ set(ours)))
+        for k in sorted(theirs):
+            if k.endswith('acc_seg'):
+                np.testing.assert_allclose(
+                    ours[k], theirs[k], rtol=0, atol=2.0,
+                    err_msg=f'DACS step {i} accuracy {k}')
+                continue
+            np.testing.assert_allclose(
+                ours[k], theirs[k], rtol=4e-3, atol=4e-3,
+                err_msg=f'DACS step {i} log var {k}')
+
+        if (i + 1) % RESYNC_EVERY_DACS == 0:
+            ps_i, bs_i = _convert(student)
+            pt_i, bt_i = _convert(teacher)
+            compare_motion(state.params, ps_i, state.params, seg_p,
+                           0.75, 5e-4, f'DACS student (step {i})')
+            compare_motion(state.ema_params, pt_i, state.ema_params,
+                           seg_e, 0.75, 5e-4, f'DACS EMA (step {i})')
+            compare_motion(state.batch_stats, bs_i,
+                           state.batch_stats, seg_b, 0.75, 2e-3,
+                           f'DACS BN (step {i})')
+            state = state.replace(
+                params=_merge(state.params, ps_i),
+                batch_stats=_merge(state.batch_stats, bs_i),
+                ema_params=_merge(state.ema_params, pt_i),
+                ema_batch_stats=_merge(state.ema_batch_stats, bt_i))
+            seg_p = flat_np(state.params)
+            seg_e = flat_np(state.ema_params)
+            seg_b = flat_np(state.batch_stats)
+
+    assert int(state.step) == N
+    # the frozen fdist reference must be bitwise untouched
+    for k, v in flat_np(state.imnet_params).items():
+        np.testing.assert_array_equal(v, imnet_before[k],
+                                      err_msg=f'imnet moved: {k}')
+
+
+RESYNC_EVERY_DACS = 2
