@@ -345,9 +345,17 @@ class KernelMHA(nn.Module):
 class KernelUpdateHead(nn.Module):
     """One K-Net refinement stage (``knet_head.py:142-390``).
 
-    Only ``conv_kernel_size == 1`` is supported — every shipped K-Net
-    semantic-segmentation config uses 1x1 dynamic kernels, for which
-    the dynamic conv is a single einsum on the MXU."""
+    ``conv_kernel_size == 1`` (every shipped semantic-seg config) runs
+    the dynamic conv as a single einsum on the MXU.  ``k > 1`` follows
+    the reference's dynamic-conv form (per-sample K x K kernels,
+    ``knet_head.py:349-371``): kernels travel as ``(B, N, K*K, C)``,
+    the inter-kernel attention runs over the flattened ``K*K*C`` dim
+    (``knet_head.py:226-231``), and the mask is produced by a batched
+    ``lax.conv_general_dilated`` with per-image weights instead of the
+    reference's python loop over ``F.conv2d``.  A 1x1 seed kernel
+    (the generate head's classifier) is zero-embedded at the K x K
+    center, which makes stage-0 maths identical to the 1x1 form —
+    the reference's own seed path would shape-error for k>1."""
     num_classes: int = 150
     num_ffn_fcs: int = 2
     num_heads: int = 8
@@ -363,10 +371,23 @@ class KernelUpdateHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, kernels, mask_preds, train: bool = False):
-        """x (B,H,W,C), kernels (B,N,C), mask_preds (B,H,W,N) ->
-        (new_mask (B,H,W,N), new_kernels (B,N,C))."""
-        assert self.conv_kernel_size == 1, (
-            'KernelUpdateHead: only 1x1 dynamic kernels supported')
+        """x (B,H,W,C), kernels (B,N,C) or (B,N,K*K,C), mask_preds
+        (B,H,W,N) -> (new_mask (B,H,W,N), new_kernels — (B,N,C) when
+        k==1, else (B,N,K*K,C))."""
+        k = self.conv_kernel_size
+        kk = k * k
+        if kernels.ndim == 3:            # (B,N,C) == 1x1 kernels
+            kernels = kernels[:, :, None, :]
+        if kernels.shape[2] != kk:
+            # 1x1 seed into a k x k head: zero-embed at the window
+            # center (row-major index), preserving the 1x1 conv maths
+            assert kernels.shape[2] == 1, (
+                f'kernel grid {kernels.shape[2]} does not match '
+                f'conv_kernel_size {k}')
+            seed = kernels[:, :, 0, :]
+            kernels = jnp.zeros(
+                kernels.shape[:2] + (kk, kernels.shape[-1]),
+                kernels.dtype).at[:, :, (kk - 1) // 2, :].set(seed)
         if self.feat_transform_cfg is not None:
             x = ConvModule(self.in_channels, 1,
                            norm_cfg=self.feat_transform_cfg.get(
@@ -389,12 +410,16 @@ class KernelUpdateHead(nn.Module):
         upd_cfg.pop('type', None)
         upd_cfg.setdefault('in_channels', self.in_channels)
         obj = KernelUpdator(dtype=self.dtype, name='kernel_update_conv',
-                            **upd_cfg)(x_feat, kernels[:, :, None, :])
-        obj = obj.reshape(obj.shape[0], obj.shape[1], -1)  # KK=1
-        obj = KernelMHA(self.in_channels, self.num_heads,
+                            **upd_cfg)(x_feat, kernels)  # (B,N,KK,C)
+        b, n = obj.shape[:2]
+        # attention BETWEEN kernels over the flattened K*K*C embedding
+        # (``knet_head.py:226-231``: embed_dims = in_channels * k**2)
+        obj = obj.reshape(b, n, -1)
+        obj = KernelMHA(self.in_channels * kk, self.num_heads,
                         dtype=self.dtype, name='attention')(obj)
         obj = nn.LayerNorm(dtype=self.dtype,
                            name='attention_norm')(obj)
+        obj = obj.reshape(b, n, kk, self.in_channels)
         if self.with_ffn:
             y = obj
             for i in range(self.num_ffn_fcs - 1):
@@ -413,11 +438,26 @@ class KernelUpdateHead(nn.Module):
             mask_feat = nn.relu(nn.LayerNorm(
                 dtype=self.dtype, name=f'mask_norm{i}')(mask_feat))
         mask_feat = nn.Dense(self.out_channels, dtype=self.dtype,
-                             name='fc_mask')(mask_feat)   # (B,N,C)
-        # 1x1 dynamic conv == einsum on the MXU
-        new_mask = jnp.einsum('bhwc,bnc->bhwn', x, mask_feat,
-                              preferred_element_type=jnp.float32
-                              ).astype(self.dtype)
+                             name='fc_mask')(mask_feat)  # (B,N,KK,C)
+        if k == 1:
+            # 1x1 dynamic conv == einsum on the MXU
+            new_mask = jnp.einsum(
+                'bhwc,bnc->bhwn', x, mask_feat[:, :, 0, :],
+                preferred_element_type=jnp.float32).astype(self.dtype)
+            return new_mask, obj[:, :, 0, :]
+        # k x k dynamic conv: per-image K x K x C x N weights through
+        # one batched conv (the reference loops F.conv2d per image,
+        # ``knet_head.py:364-371``; correlation, padding k // 2)
+        w = mask_feat.reshape(b, n, k, k, self.out_channels)
+        w = w.transpose(0, 2, 3, 4, 1)               # (B,K,K,C,N)
+
+        def conv_one(xi, wi):
+            return jax.lax.conv_general_dilated(
+                xi[None], wi, (1, 1), [(k // 2, k // 2)] * 2,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.float32)[0]
+
+        new_mask = jax.vmap(conv_one)(x, w).astype(self.dtype)
         return new_mask, obj
 
 

@@ -104,6 +104,153 @@ def test_knet_stage0_kernels_are_conv_seg_weights():
     assert find(p) is not None
 
 
+def _np(x):
+    return np.asarray(x, np.float64)
+
+
+def test_knet_k3_torch_parity():
+    """conv_kernel_size=3 KernelUpdateHead vs a torch twin of the
+    reference forward (``knet_head.py:142-390``): group assembly,
+    KernelUpdator gating, inter-kernel MHA over the flattened K*K*C
+    embedding (embed_dims = in_channels * k**2,
+    ``knet_head.py:226-231``), FFN/mask fcs, and the per-image K x K
+    dynamic conv (``knet_head.py:349-371``, padding k//2).  The twin
+    uses F.multi_head_attention_forward with the flax qkv/proj weights
+    remapped, and a per-image F.conv2d loop exactly like the
+    reference."""
+    import torch
+    import torch.nn.functional as F
+
+    from pfst_tpu.models.decode_heads.point_rend import KernelUpdateHead
+
+    C, N, K, H, W, B = 16, 5, 3, 8, 8, 2
+    head = KernelUpdateHead(
+        num_classes=N, num_ffn_fcs=2, num_heads=2, num_mask_fcs=1,
+        feedforward_channels=32, in_channels=C, out_channels=C,
+        conv_kernel_size=K, with_ffn=True,
+        kernel_updator_cfg=dict(in_channels=C, feat_channels=C,
+                                out_channels=C))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, H, W, C), jnp.float32)
+    kernels = jnp.asarray(rs.randn(B, N, K * K, C) * 0.3, jnp.float32)
+    mask_preds = jnp.asarray(rs.randn(B, H, W, N), jnp.float32)
+    variables = head.init({'params': jax.random.PRNGKey(0)}, x,
+                          kernels, mask_preds)
+    new_mask, new_kernels = head.apply(variables, x, kernels,
+                                       mask_preds)
+    assert new_mask.shape == (B, H, W, N)
+    assert new_kernels.shape == (B, N, K * K, C)
+
+    p = jax.tree_util.tree_map(_np, variables['params'])
+
+    def lin(node, v, bias=True):
+        out = v @ node['kernel']
+        return out + node['bias'] if bias else out
+
+    def ln(node, v, eps=1e-6):
+        mu = v.mean(-1, keepdims=True)
+        var = ((v - mu) ** 2).mean(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + eps) * node['scale'] \
+            + node['bias']
+
+    # ---- torch/numpy twin of the reference forward ------------------
+    xt = _np(x)                                     # (B,H,W,C)
+    sig = _np(jax.nn.softmax(mask_preds, axis=-1))
+    x_feat = np.einsum('bhwn,bhwc->bnc', sig, xt)   # Eq.(3)
+
+    # KernelUpdator (knet_head.py:16-140), feat_channels == in_channels
+    u = p['kernel_update_conv']
+    fc = C
+    params = lin(u['dynamic_layer'], x_feat)        # (B,N,2fc)
+    param_in, param_out = params[..., :fc], params[..., fc:]
+    inp = lin(u['input_layer'], _np(kernels))       # (B,N,KK,2fc)
+    input_in, input_out = inp[..., :fc], inp[..., fc:]
+    gate_feats = input_in * param_in[:, :, None, :]
+    input_gate = ln(u['input_norm_in'], lin(u['input_gate'],
+                                            gate_feats))
+    update_gate = ln(u['norm_in'], lin(u['update_gate'], gate_feats))
+    input_gate = 1 / (1 + np.exp(-input_gate))
+    update_gate = 1 / (1 + np.exp(-update_gate))
+    param_out = ln(u['norm_out'], param_out)
+    input_out = ln(u['input_norm_out'], input_out)
+    feats = update_gate * param_out[:, :, None, :] \
+        + input_gate * input_out
+    obj = np.maximum(ln(u['fc_norm'], lin(u['fc_layer'], feats)), 0)
+
+    # attention between kernels over flattened K*K*C (embed 144)
+    at = p['attention']
+    emb = C * K * K
+    obj_flat = torch.tensor(obj.reshape(B, N, emb))     # (B,N,E)
+    q = obj_flat.transpose(0, 1)                        # (N,B,E)
+    attn_out, _ = F.multi_head_attention_forward(
+        q, q, q, emb, 2,
+        torch.tensor(p['attention']['qkv']['kernel'].T),
+        torch.tensor(p['attention']['qkv']['bias']),
+        None, None, False, 0.0,
+        torch.tensor(at['proj']['kernel'].T),
+        torch.tensor(at['proj']['bias']), training=False,
+        need_weights=False)
+    obj_flat = _np(obj_flat) + _np(attn_out.transpose(0, 1))
+    obj_flat = ln(p['attention_norm'], obj_flat)
+    obj2 = obj_flat.reshape(B, N, K * K, C)
+
+    # FFN (residual inside, then LN) + mask fcs
+    y = np.maximum(lin(p['ffn_fc0'], obj2), 0)
+    y = lin(p['ffn_fc1'], y)
+    obj2 = ln(p['ffn_norm'], obj2 + y)
+    mask_feat = obj2
+    mask_feat = lin(p['mask_fc0'], mask_feat, bias=False)
+    mask_feat = np.maximum(ln(p['mask_norm0'], mask_feat), 0)
+    mask_feat = lin(p['fc_mask'], mask_feat)            # (B,N,KK,C)
+
+    # per-image K x K dynamic conv, exactly the reference loop
+    wt = torch.tensor(
+        mask_feat.transpose(0, 1, 3, 2).reshape(B, N, C, K, K))
+    xtt = torch.tensor(xt.transpose(0, 3, 1, 2))        # (B,C,H,W)
+    outs = [F.conv2d(xtt[i:i + 1], wt[i], padding=K // 2)
+            for i in range(B)]
+    ref_mask = torch.cat(outs, 0).numpy()               # (B,N,H,W)
+
+    np.testing.assert_allclose(
+        _np(new_kernels), obj2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        _np(new_mask).transpose(0, 3, 1, 2), ref_mask,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_knet_k3_head_end_to_end():
+    """The full K-Net config space instantiates at k=3: stage-0 1x1
+    seed kernels zero-embed at the K x K center (so stage 0 maths
+    matches the 1x1 form), per-stage losses emerge, grads flow."""
+    cfg = _small_knet_cfg()
+    for h in cfg['decode_head']['kernel_update_head']:
+        h['conv_kernel_size'] = 3
+    model = build_segmentor(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    gt = jnp.asarray(
+        np.random.RandomState(1).randint(0, 5, (2, 32, 32)))
+    variables = model.init({'params': rng}, x, train=False)
+    (losses, _), _ = model.apply(
+        variables, x, gt, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(1)},
+        method=model.forward_train)
+    for s in range(3):
+        assert f'decode.loss_ce.s{s}' in losses, sorted(losses)
+
+    def loss_fn(params):
+        (ls, _), _ = model.apply(
+            {**variables, 'params': params}, x, gt, train=True,
+            mutable=['batch_stats'],
+            rngs={'dropout': jax.random.PRNGKey(1)},
+            method=model.forward_train)
+        return sum(jnp.mean(v) for k, v in ls.items() if 'loss' in k)
+    grads = jax.grad(loss_fn)(variables['params'])
+    gnorm = optax.global_norm(grads['decode_head_mod']['update_head0'])
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
 def test_pointrend_train_point_loss():
     cfg = dict(
         type='EncoderDecoder',
