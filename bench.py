@@ -128,6 +128,24 @@ def bench_train_step():
             out[label] = round(best, 4)
         out['train_img_per_sec'] = round(
             batch_size / out['train_s_per_iter'], 2)
+        # measured THIS session: the with-transfers number embeds the
+        # link-of-the-moment (the tunnel swings 36-428 MB/s across
+        # sessions — artifacts/transfer_r4.log), so BENCH records the
+        # session's own host->device bandwidth next to it and a
+        # machine-readable caveat for cross-round comparisons
+        bw = []
+        for _ in range(3):
+            b = bt.make_batch(rs, batch_size, SIZE)
+            nbytes = sum(int(a.nbytes) for a in
+                         jax.tree_util.tree_leaves(b))
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(b))
+            bw.append(nbytes / (time.perf_counter() - t0) / 1e6)
+        out['train_transfer_bandwidth_mbps'] = round(max(bw), 1)
+        out['train_with_transfers_caveat'] = (
+            'link-dependent: valid only at '
+            'train_transfer_bandwidth_mbps; compare rounds on '
+            'train_s_per_iter (device-resident) instead')
         tflop = bt.program_flops(step, state,
                                  bt.make_batch(rs, batch_size, SIZE),
                                  rng)

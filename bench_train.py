@@ -172,13 +172,24 @@ def timed_chain(step, state, batches, rngs, device_put=True,
         import queue
         import threading
         q = queue.Queue(maxsize=2)
+        err_sentinel = object()
+        prod_err = []
 
         def producer():
-            for b in batches:
-                q.put(jax.device_put(b))
+            try:
+                for b in batches:
+                    q.put(jax.device_put(b))
+            except BaseException as e:  # noqa: BLE001 — re-raised
+                prod_err.append(e)
+                q.put(err_sentinel)
 
         threading.Thread(target=producer, daemon=True).start()
-        fetch = lambda i: q.get()  # noqa: E731
+
+        def fetch(i):
+            item = q.get()
+            if item is err_sentinel:
+                raise prod_err[0]
+            return item
 
     t0 = time.perf_counter()
     pending = []

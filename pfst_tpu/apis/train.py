@@ -107,6 +107,8 @@ class BatchPrefetcher:
     in the pipeline re-raise in the training thread.
     """
 
+    _ERR = object()  # queue sentinel — a batch can legitimately be falsy
+
     def __init__(self, batch_iter, loader, put, depth: int = 2,
                  put_in_thread: Optional[bool] = None):
         import queue
@@ -139,7 +141,7 @@ class BatchPrefetcher:
                     else batch
             except BaseException as e:  # noqa: BLE001 — re-raised
                 self._err = e
-                self._q.put(None)
+                self._q.put(self._ERR)
                 return
             while not self._stop.is_set():
                 try:
@@ -150,7 +152,7 @@ class BatchPrefetcher:
 
     def next(self):
         item = self._q.get()
-        if item is None:
+        if item is self._ERR:
             raise self._err
         return item if self._put_in_thread else self._put(item)
 
@@ -690,123 +692,127 @@ def train_segmentor(cfg,
     from ..ops.quant import qat_context_from_cfg
     qat_ctx = qat_context_from_cfg(cfg)
     t_last = time.time()
-    for it in range(start_iter, max_iters):
-        step_rng = jax.random.fold_in(rng, it)
-        with qat_ctx():
-            state, log_vars, vis_states = step_fn(state, device_batch,
-                                                  step_rng)
-        ctx['iter'] = it + 1
-        ctx['state'] = state
-        if prefetcher is not None:
-            # data time = residual stall only: how long the loop
-            # actually waited for a batch that wasn't ready
-            t0 = time.time()
-            device_batch = prefetcher.next()
-            t_data += time.time() - t0
-        elif not repeat_first:
-            t0 = time.time()
-            try:
-                nxt = next(batch_iter)
-            except StopIteration:
-                batch_iter = iter(loader)
-                nxt = next(batch_iter)
-            device_batch = put(nxt)
-            t_data += time.time() - t0
+    try:
+        for it in range(start_iter, max_iters):
+            step_rng = jax.random.fold_in(rng, it)
+            with qat_ctx():
+                state, log_vars, vis_states = step_fn(state, device_batch,
+                                                      step_rng)
+            ctx['iter'] = it + 1
+            ctx['state'] = state
+            if prefetcher is not None:
+                # data time = residual stall only: how long the loop
+                # actually waited for a batch that wasn't ready
+                t0 = time.time()
+                device_batch = prefetcher.next()
+                t_data += time.time() - t0
+            elif not repeat_first:
+                t0 = time.time()
+                try:
+                    nxt = next(batch_iter)
+                except StopIteration:
+                    batch_iter = iter(loader)
+                    nxt = next(batch_iter)
+                device_batch = put(nxt)
+                t_data += time.time() - t0
 
-        lazy_vars = LazyLogVars(log_vars)
-        if (it + 1) % log_interval == 0:
-            # materialize BEFORE reading the clock: fetching the log
-            # vars blocks on all queued device work, and that wait
-            # belongs to this window (otherwise a dispatch-only time
-            # is reported — observed 0.02 "s/iter" while wall
-            # timestamps said 0.2)
-            msg = ', '.join(f'{k}: {float(v):.4f}'
-                            for k, v in sorted(lazy_vars.items()))
-            dt = time.time() - t_last
-            print_log(
-                f'Iter [{it + 1}/{max_iters}] '
-                f'time: {dt / log_interval:.3f}s '
-                f'data: {t_data / log_interval:.3f}s  {msg}', logger)
-            t_last, t_data = time.time(), 0.0
-            bad = [k for k, v in lazy_vars.items()
-                   if not np.isfinite(float(v))]
-            if bad:
-                # loud, every log interval — a silent NaN destroys the
-                # checkpoint; optimizer_config.skip_nonfinite=N makes
-                # the optimizer drop such updates instead
-                print_log(
-                    f'NON-FINITE loss values at iter {it + 1}: '
-                    f'{bad} — set optimizer_config.skip_nonfinite to '
-                    'drop bad updates', logger, level=logging.WARNING)
-        # hooks fire EVERY iteration (mmcv cadence) and self-gate on
-        # their own intervals; log-var transfer stays lazy off-interval
-        try:
-            for h in hooks:
-                h.after_train_iter(ctx, lazy_vars,
-                                   vis_states if collect_vis else None)
-        except ValueError as e:
-            # deliberate halt (PseudoLabelingHook*: the reference
-            # stops training the same way after dumping the corpus)
-            print_log(f'training halted by hook: {e}', logger)
-            break
-
-        # Preemption exit.  Multi-process worlds must AGREE on the
-        # stop iteration (the save below is a collective Orbax write;
-        # eviction signals can land one iteration apart per host), so
-        # they vote by allgather on the log cadence; single-process
-        # stops immediately.
-        stop_now = preempt['sig'] is not None
-        if work_dir and jax.process_count() > 1:
+            lazy_vars = LazyLogVars(log_vars)
             if (it + 1) % log_interval == 0:
-                from jax.experimental import multihost_utils
-                votes = multihost_utils.process_allgather(
-                    np.array([1 if stop_now else 0], np.int32))
-                stop_now = int(np.sum(votes)) > 0
-            else:
-                stop_now = False
-        if work_dir and stop_now:
-            save_checkpoint(work_dir, it + 1, ckpt_view(state),
-                            meta=meta)
-            print_log('preemption signal '
-                      f'{preempt["sig"] or "(peer vote)"}: '
-                      f'checkpoint saved @ iter {it + 1}, exiting '
-                      '(auto_resume continues from here)', logger)
-            break
-
-        if work_dir and (it + 1) % ckpt_interval == 0:
-            # async_save hands device arrays straight to Orbax (one
-            # host snapshot, disk IO on a background thread) so the
-            # loop keeps stepping while the checkpoint commits
-            save_checkpoint(work_dir, it + 1,
-                            state if ckpt_async else
-                            ckpt_view(state),
-                            meta=meta, async_save=ckpt_async)
-            print_log(f'checkpoint saved @ iter {it + 1}'
-                      + (' (async)' if ckpt_async else ''), logger)
-
-        if validate and (it + 1) % eval_interval == 0:
-            metrics = evaluate_during_train(cfg, algo, state, eval_cfg,
-                                            logger, eval_fn)
-            for h in hooks:
-                h.after_eval(ctx, metrics or {})
-            # save-best tracking (EvalHook greater_keys=['mIoU','mAcc',
-            # 'aAcc'], ``eval_hooks.py:45-58``)
-            save_best = eval_cfg.get('save_best')
-            if work_dir and save_best and metrics and \
-                    save_best in metrics:
-                best = ctx.get('best_score', -1.0)
-                if metrics[save_best] > best:
-                    ctx['best_score'] = metrics[save_best]
-                    save_checkpoint(
-                        osp.join(work_dir, 'best'), it + 1,
-                        ckpt_view(state), meta=meta)
+                # materialize BEFORE reading the clock: fetching the log
+                # vars blocks on all queued device work, and that wait
+                # belongs to this window (otherwise a dispatch-only time
+                # is reported — observed 0.02 "s/iter" while wall
+                # timestamps said 0.2)
+                msg = ', '.join(f'{k}: {float(v):.4f}'
+                                for k, v in sorted(lazy_vars.items()))
+                dt = time.time() - t_last
+                print_log(
+                    f'Iter [{it + 1}/{max_iters}] '
+                    f'time: {dt / log_interval:.3f}s '
+                    f'data: {t_data / log_interval:.3f}s  {msg}', logger)
+                t_last, t_data = time.time(), 0.0
+                bad = [k for k, v in lazy_vars.items()
+                       if not np.isfinite(float(v))]
+                if bad:
+                    # loud, every log interval — a silent NaN destroys the
+                    # checkpoint; optimizer_config.skip_nonfinite=N makes
+                    # the optimizer drop such updates instead
                     print_log(
-                        f'new best {save_best}='
-                        f'{metrics[save_best]:.4f} @ iter {it + 1}',
-                        logger)
+                        f'NON-FINITE loss values at iter {it + 1}: '
+                        f'{bad} — set optimizer_config.skip_nonfinite to '
+                        'drop bad updates', logger, level=logging.WARNING)
+            # hooks fire EVERY iteration (mmcv cadence) and self-gate on
+            # their own intervals; log-var transfer stays lazy off-interval
+            try:
+                for h in hooks:
+                    h.after_train_iter(ctx, lazy_vars,
+                                       vis_states if collect_vis else None)
+            except ValueError as e:
+                # deliberate halt (PseudoLabelingHook*: the reference
+                # stops training the same way after dumping the corpus)
+                print_log(f'training halted by hook: {e}', logger)
+                break
 
-    if prefetcher is not None:
-        prefetcher.close()
+            # Preemption exit.  Multi-process worlds must AGREE on the
+            # stop iteration (the save below is a collective Orbax write;
+            # eviction signals can land one iteration apart per host), so
+            # they vote by allgather on the log cadence; single-process
+            # stops immediately.
+            stop_now = preempt['sig'] is not None
+            if work_dir and jax.process_count() > 1:
+                if (it + 1) % log_interval == 0:
+                    from jax.experimental import multihost_utils
+                    votes = multihost_utils.process_allgather(
+                        np.array([1 if stop_now else 0], np.int32))
+                    stop_now = int(np.sum(votes)) > 0
+                else:
+                    stop_now = False
+            if work_dir and stop_now:
+                save_checkpoint(work_dir, it + 1, ckpt_view(state),
+                                meta=meta)
+                print_log('preemption signal '
+                          f'{preempt["sig"] or "(peer vote)"}: '
+                          f'checkpoint saved @ iter {it + 1}, exiting '
+                          '(auto_resume continues from here)', logger)
+                break
+
+            if work_dir and (it + 1) % ckpt_interval == 0:
+                # async_save hands device arrays straight to Orbax (one
+                # host snapshot, disk IO on a background thread) so the
+                # loop keeps stepping while the checkpoint commits
+                save_checkpoint(work_dir, it + 1,
+                                state if ckpt_async else
+                                ckpt_view(state),
+                                meta=meta, async_save=ckpt_async)
+                print_log(f'checkpoint saved @ iter {it + 1}'
+                          + (' (async)' if ckpt_async else ''), logger)
+
+            if validate and (it + 1) % eval_interval == 0:
+                metrics = evaluate_during_train(cfg, algo, state, eval_cfg,
+                                                logger, eval_fn)
+                for h in hooks:
+                    h.after_eval(ctx, metrics or {})
+                # save-best tracking (EvalHook greater_keys=['mIoU','mAcc',
+                # 'aAcc'], ``eval_hooks.py:45-58``)
+                save_best = eval_cfg.get('save_best')
+                if work_dir and save_best and metrics and \
+                        save_best in metrics:
+                    best = ctx.get('best_score', -1.0)
+                    if metrics[save_best] > best:
+                        ctx['best_score'] = metrics[save_best]
+                        save_checkpoint(
+                            osp.join(work_dir, 'best'), it + 1,
+                            ckpt_view(state), meta=meta)
+                        print_log(
+                            f'new best {save_best}='
+                            f'{metrics[save_best]:.4f} @ iter {it + 1}',
+                            logger)
+    finally:
+        # the daemon prefetch thread must not outlive the loop —
+        # an exception in step_fn/hooks/checkpointing would leave
+        # it pulling loader batches concurrently with later work
+        if prefetcher is not None:
+            prefetcher.close()
     if work_dir and preempt['sig'] is None and \
             (max_iters % ckpt_interval != 0
              or int(state.step) != max_iters):

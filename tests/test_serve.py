@@ -236,6 +236,29 @@ def test_serve_max_batch_http_roundtrip():
         srv4.shutdown()
 
 
+def test_serve_spatial_apply_returns_probabilities():
+    """The spatial predictor path must hand PROBS to
+    inference_segmentor (which sums outputs across TTA views), exactly
+    like model.inference does on the plain path.  Regression: the
+    spatial eval helper yields pre-softmax logits
+    (``apis/test.py::make_spatial_inference_fn``), so the serve
+    wrapper must re-apply softmax — raw logits here silently corrupt
+    multi-view TTA averaging."""
+    import jax.numpy as jnp
+    import serve
+    plain = serve.Predictor(_test_cfg())
+    sp = serve.Predictor(_test_cfg(), spatial=8)
+    sp.variables = plain.variables
+    img = jnp.asarray(
+        np.random.RandomState(3).rand(1, 40, 40, 3), jnp.float32)
+    p_plain, _ = plain._apply_fn(plain.variables, img)
+    p_sp, _ = sp._apply_fn(sp.variables, img)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(p_sp, axis=-1)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_sp), np.asarray(p_plain),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_serve_spatial_sharded_forward():
     """--spatial: each request's forward runs H-sharded over the mesh
     (huge-scene serving) and the label map matches the unsharded

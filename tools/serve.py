@@ -151,7 +151,12 @@ class Predictor:
                 # model.inference's (probs, states) contract
                 from pfst_tpu.apis.test import make_spatial_inference_fn
                 sp_fn = make_spatial_inference_fn(model, self.spatial)
-                fn = lambda v, im: (sp_fn(v, im), None)  # noqa: E731
+                # sp_fn yields PRE-softmax logits (the eval path
+                # resizes logits before softmax); inference_segmentor
+                # sums outputs across TTA views, so serving must hand
+                # it probabilities like model.inference does
+                fn = lambda v, im: (  # noqa: E731
+                    jax.nn.softmax(sp_fn(v, im), axis=-1), None)
             else:
                 fn = jax.jit(lambda v, im: model.apply(
                     v, im, method=model.inference))
