@@ -18,21 +18,31 @@ DEFAULT_META_KEYS = ('filename', 'ori_filename', 'ori_shape', 'img_shape',
 
 @PIPELINES.register_module()
 class DefaultFormatBundle:
-    """img -> float32 HWC; gt -> int32 HW."""
+    """img -> float32 HWC; gt -> int32 HW.
+
+    When normalization is DEFERRED to the device
+    (``DeferNormalize``), the bundle must NOT cast images back to
+    float32 — the whole point of the deferred path is the narrow
+    uint8/float16 wire dtype crossing the host->device link
+    (``cfg.data.device_normalize``; PERF.md round 5: the cast here
+    silently re-inflated the wire 4x and made the option inert)."""
 
     def __call__(self, results):
-        for key in results.get('img_fields', ['img']):
-            img = results[key]
+        deferred = bool(results.get('img_norm_cfg',
+                                    {}).get('deferred'))
+
+        def fmt(img):
             if img.ndim == 2:
                 img = img[..., None]
-            results[key] = np.ascontiguousarray(img, np.float32)
+            return np.ascontiguousarray(
+                img, img.dtype if deferred else np.float32)
+
+        for key in results.get('img_fields', ['img']):
+            results[key] = fmt(results[key])
         for key in results.get('seg_fields', []):
             results[key] = np.ascontiguousarray(results[key], np.int32)
         if 'ori_img' in results:
-            img = results['ori_img']
-            if img.ndim == 2:
-                img = img[..., None]
-            results['ori_img'] = np.ascontiguousarray(img, np.float32)
+            results['ori_img'] = fmt(results['ori_img'])
             # per-sample replay metas as stackable arrays so the
             # collated batch carries them to PFSTV4's in-step
             # transform_by_metas (rot90/flip only — see KeepOriImage)

@@ -49,6 +49,36 @@ def _uda_cfg():
         runner=dict(max_iters=10))
 
 
+def test_wire_dtype_survives_format_bundle():
+    """Round-5 regression: DefaultFormatBundle force-cast img fields
+    to float32 AFTER DeferNormalize had narrowed them, silently
+    re-inflating the wire 4x and making ``data.device_normalize``
+    inert in any real pipeline (found while bounding the r4 data-time
+    creep).  The ``deferred`` flag rides ``img_norm_cfg`` through the
+    bundle: narrow dtypes survive, the non-deferred float32 contract
+    stands."""
+    from pfst_tpu.datasets.pipelines import DefaultFormatBundle
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (16, 16, 3)).astype(np.float32)
+    res = {'img': img.copy(), 'img_fields': ['img'],
+           'seg_fields': ['gt_semantic_seg'],
+           'gt_semantic_seg': rs.randint(0, 6, (16, 16))}
+    res = DeferNormalize(MEAN, STD, wire_dtype='uint8')(res)
+    res = DefaultFormatBundle()(res)
+    assert res['img'].dtype == np.uint8
+    assert res['gt_semantic_seg'].dtype == np.int32
+
+    res16 = {'img': img.copy(), 'img_fields': ['img']}
+    res16 = DeferNormalize(MEAN, STD)(res16)
+    res16 = DefaultFormatBundle()(res16)
+    assert res16['img'].dtype == np.float16
+
+    host = {'img': img.copy(), 'img_fields': ['img']}
+    host = Normalize(MEAN, STD)(host)
+    host = DefaultFormatBundle()(host)
+    assert host['img'].dtype == np.float32
+
+
 @pytest.mark.parametrize('split', [False, True])
 def test_deferred_step_matches_host_normalized(split):
     algo = build_train_model(_uda_cfg())
