@@ -128,6 +128,28 @@ def bench_train_step():
             out[label] = round(best, 4)
         out['train_img_per_sec'] = round(
             batch_size / out['train_s_per_iter'], 2)
+        # the device_normalize SHIPPING path (uint8 wire + on-device
+        # normalization — the round-5 DefaultFormatBundle fix made it
+        # real): 4x fewer bytes past the aging tunnel put, the train
+        # CLI's actual configuration for bounded data time
+        for i in range(2):  # compile+warm the uint8-input program
+            state, lv, _ = step(state,
+                                bt.make_batch(rs, batch_size, SIZE,
+                                              wire='uint8'),
+                                jax.random.fold_in(rng, 950 + i))
+        _ = np.asarray(lv['loss'])
+        best = None
+        for rep in range(2):
+            batches = [bt.make_batch(rs, batch_size, SIZE,
+                                     wire='uint8')
+                       for _ in range(steps)]
+            rngs = [jax.random.fold_in(rng, 300 + rep * steps + i)
+                    for i in range(steps)]
+            dt, state = bt.timed_chain(step, state, batches, rngs,
+                                       transfer='serial')
+            per = dt / steps
+            best = per if best is None else min(best, per)
+        out['train_s_per_iter_uint8_wire'] = round(best, 4)
         # measured THIS session: the with-transfers number embeds the
         # link-of-the-moment (the tunnel swings 36-428 MB/s across
         # sessions — artifacts/transfer_r4.log), so BENCH records the

@@ -37,7 +37,22 @@ V5E_FP32_PEAK_TFLOPS = 24.6  # v5e has no fp32 matmul units beyond
 #                              MXU passes; ~1/8 of bf16 peak
 
 
-def make_batch(rs, b, size):
+def make_batch(rs, b, size, wire=None):
+    """wire=None: host-normalized float32 (the classic path).
+    wire='uint8': the ``device_normalize`` shipping path — 0-255
+    uint8 images + uint8 labels, normalized inside the jitted step
+    (``uda_decorator.maybe_normalize_images``); 4x fewer wire bytes."""
+    if wire == 'uint8':
+        return {
+            'img': rs.randint(0, 256, (b, size, size, 3)).astype(
+                np.uint8),
+            'gt_semantic_seg': rs.randint(0, 6, (b, size, size)).astype(
+                np.uint8),
+            'target_img': rs.randint(
+                0, 256, (b, size, size, 3)).astype(np.uint8),
+            'target_img_strong_aug': rs.randint(
+                0, 256, (b, size, size, 3)).astype(np.uint8),
+        }
     return {
         'img': rs.randn(b, size, size, 3).astype(np.float32),
         'gt_semantic_seg': rs.randint(0, 6, (b, size, size)).astype(

@@ -66,6 +66,10 @@ src_cities = ['austin', 'chicago', 'kitsap']
 trg_cities = ['vienna', 'tyrol-w']
 
 data = dict(
+    # ship images uint8 + normalize on-device: 4x fewer wire
+    # bytes past the (aging) host->device link — PERF.md r5;
+    # set to False to restore host-side float32 Normalize
+    device_normalize='uint8',
     samples_per_gpu=2,
     workers_per_gpu=4,
     train=dict(

@@ -62,6 +62,10 @@ data_root_pots = 'data/Potsdam_IRRG_1024'
 data_root_vaih = 'data/Vaihingen_IRRG_1024'
 gt_seg_map_loader_cfg = dict(reduce_zero_label=True)
 data = dict(
+    # ship images uint8 + normalize on-device: 4x fewer wire
+    # bytes past the (aging) host->device link — PERF.md r5;
+    # set to False to restore host-side float32 Normalize
+    device_normalize='uint8',
     samples_per_gpu=2,
     workers_per_gpu=4,
     train=dict(

@@ -67,6 +67,10 @@ test_pipeline = [
 ]
 
 data = dict(
+    # ship images uint8 + normalize on-device: 4x fewer wire
+    # bytes past the (aging) host->device link — PERF.md r5;
+    # set to False to restore host-side float32 Normalize
+    device_normalize='uint8',
     samples_per_gpu=16,
     workers_per_gpu=4,
     train=dict(
