@@ -67,11 +67,16 @@ class ImageToTensor:
         self.keys = keys
 
     def __call__(self, results):
+        # like DefaultFormatBundle: a deferred-normalize pipeline
+        # ships its narrow wire dtype through untouched
+        deferred = bool(results.get('img_norm_cfg',
+                                    {}).get('deferred'))
         for key in self.keys:
             img = results[key]
             if img.ndim == 2:
                 img = img[..., None]
-            results[key] = np.ascontiguousarray(img, np.float32)
+            results[key] = np.ascontiguousarray(
+                img, img.dtype if deferred else np.float32)
         return results
 
     def __repr__(self):

@@ -259,6 +259,43 @@ def test_serve_spatial_apply_returns_probabilities():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_serve_device_normalize_uint8_wire():
+    """--device-normalize: request images cross the host->device link
+    as uint8 (4x fewer bytes) and are normalized by a tiny jitted
+    program on device; probabilities match the host-normalized
+    predictor and the swapped pipeline really emits uint8 (regression
+    guard on ImageToTensor preserving the wire dtype)."""
+    import jax.numpy as jnp
+    import serve
+    from pfst_tpu.datasets.pipelines import Compose
+
+    plain = serve.Predictor(_test_cfg())
+    dn = serve.Predictor(_test_cfg(), device_normalize='uint8')
+    dn.variables = plain.variables
+    img = np.random.RandomState(7).randint(
+        0, 255, (40, 40, 3)).astype(np.uint8)
+
+    def run_pipe(pred):
+        pipe = Compose(list(pred.model.cfg.data['test']['pipeline'])[1:])
+        out = pipe(dict(img=img.copy(), img_shape=img.shape,
+                        ori_shape=img.shape, img_fields=['img'],
+                        seg_fields=[], filename=None,
+                        ori_filename=None, scale_factor=1.0))
+        return out['img']
+
+    wire = run_pipe(dn)
+    assert wire.dtype == np.uint8
+    host = run_pipe(plain)
+    assert host.dtype == np.float32
+
+    p_host, _ = plain._apply_fn(plain.variables,
+                                jnp.asarray(host)[None])
+    p_wire, _ = dn._apply_fn(dn.variables, jnp.asarray(wire)[None])
+    np.testing.assert_allclose(np.asarray(p_wire),
+                               np.asarray(p_host),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_serve_spatial_sharded_forward():
     """--spatial: each request's forward runs H-sharded over the mesh
     (huge-scene serving) and the label map matches the unsharded

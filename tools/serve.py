@@ -116,7 +116,7 @@ class Predictor:
 
     def __init__(self, config, checkpoint=None, seed=0,
                  quant_int8=False, act_scales=None, max_batch=1,
-                 spatial=0):
+                 spatial=0, device_normalize=None):
         self.quant_int8 = quant_int8
         self.act_scales = act_scales
         self.spatial = int(spatial or 0)
@@ -125,6 +125,27 @@ class Predictor:
                          if self.max_batch > 1 else None)
         from pfst_tpu.apis.inference import init_segmentor
         self.model, self.variables = init_segmentor(config, checkpoint)
+        # --device-normalize: request images cross the host->device
+        # link as uint8 (or float16) and are normalized on device —
+        # 4x (2x) fewer wire bytes per request, the serving analog of
+        # cfg.data.device_normalize (PERF.md round 5: the tunnel put
+        # path ages; narrow wires bound it). Swaps the test pipeline's
+        # Normalize for DeferNormalize; the normalization itself runs
+        # as a tiny jitted program before the cached inference fn.
+        self._dev_norm = None
+        if device_normalize:
+            wire = device_normalize if isinstance(device_normalize,
+                                                  str) else 'uint8'
+            pipe = self.model.cfg.data['test']['pipeline']
+            norm = next(t for t in pipe
+                        if t.get('type') == 'Normalize')
+            norm['type'] = 'DeferNormalize'
+            norm['wire_dtype'] = wire
+            import jax.numpy as jnp
+            mean = jnp.asarray(norm['mean'], jnp.float32)
+            std = jnp.asarray(norm['std'], jnp.float32)
+            self._dev_norm = jax.jit(
+                lambda im: (im.astype(jnp.float32) - mean) / std)
         if self.variables is None:  # smoke-serving without a checkpoint
             import jax.numpy as jnp
             rng = jax.random.PRNGKey(seed)
@@ -140,6 +161,13 @@ class Predictor:
             np.uint8)
 
     def _apply_fn(self, variables, batch_img):
+        import jax.numpy as jnp
+        if self._dev_norm is not None and \
+                batch_img.dtype != jnp.float32:
+            # wire image (uint8/f16, 0-255): normalize on device; the
+            # dtype branch is host-side so each wire format gets its
+            # own tiny cached program
+            batch_img = self._dev_norm(batch_img)
         key = tuple(batch_img.shape)
         fn = self._jitted.get(key)
         if fn is None:
@@ -255,10 +283,11 @@ def make_handler(predictor: Predictor):
 
 def build_server(config, checkpoint=None, host='127.0.0.1', port=8080,
                  quant_int8=False, act_scales=None, max_batch=1,
-                 spatial=0):
+                 spatial=0, device_normalize=None):
     predictor = Predictor(config, checkpoint, quant_int8=quant_int8,
                           act_scales=act_scales, max_batch=max_batch,
-                          spatial=spatial)
+                          spatial=spatial,
+                          device_normalize=device_normalize)
     return ThreadingHTTPServer((host, port), make_handler(predictor))
 
 
@@ -280,6 +309,11 @@ def parse_args(args=None):
                    help='shard each forward\'s H axis over this many '
                         'devices (huge-scene serving; '
                         'parallel/spatial.py)')
+    p.add_argument('--device-normalize', nargs='?', const='uint8',
+                   default=None, choices=['uint8', 'float16'],
+                   help='ship request images over the host->device '
+                        'link in the 0-255 domain (uint8 = 4x fewer '
+                        'bytes) and normalize on device')
     return p.parse_args(args)
 
 
@@ -291,7 +325,8 @@ def main(args=None):
     server = build_server(args.config, args.checkpoint, args.host,
                           args.port, quant_int8=args.quant_int8,
                           act_scales=scales, max_batch=args.max_batch,
-                          spatial=args.spatial)
+                          spatial=args.spatial,
+                          device_normalize=args.device_normalize)
     print(f'serving on http://{args.host}:{server.server_address[1]}',
           file=sys.stderr)
     try:
