@@ -106,50 +106,49 @@ def bench_train_step():
         _ = np.asarray(lv['loss'])
 
         out = {}
-        for label, resident in (('train_s_per_iter_with_transfers',
-                                 False),
-                                ('train_s_per_iter', True)):
+
+        def timed(label, wire=None, resident=False, warm=0,
+                  rng_base=0):
+            # one shared protocol for every train timing: optional
+            # compile+warm of the wire-specific program, then
+            # best-of-2 12-step chains with 'serial' puts (the
+            # measured optimum on this backend — concurrent puts
+            # DELAY the running program,
+            # artifacts/bench_train_transfer_r4.log)
+            nonlocal state
+            for i in range(warm):
+                state, lv, _ = step(
+                    state, bt.make_batch(rs, batch_size, SIZE,
+                                         wire=wire),
+                    jax.random.fold_in(rng, 950 + i))
+            if warm:
+                _ = np.asarray(lv['loss'])
             best = None
             for rep in range(2):
-                batches = [bt.make_batch(rs, batch_size, SIZE)
+                batches = [bt.make_batch(rs, batch_size, SIZE,
+                                         wire=wire)
                            for _ in range(steps)]
                 if resident:
                     batches = bt.put_batches(batches)
-                rngs = [jax.random.fold_in(rng, rep * steps + i)
-                        for i in range(steps)]
-                # 'serial' (put strictly between dispatches) is the
-                # measured optimum for host batches on this backend —
-                # concurrent puts DELAY the running program
-                # (artifacts/bench_train_transfer_r4.log)
-                dt, state = bt.timed_chain(step, state, batches, rngs,
-                                           transfer='serial')
+                rngs = [jax.random.fold_in(
+                    rng, rng_base + rep * steps + i)
+                    for i in range(steps)]
+                dt, state = bt.timed_chain(step, state, batches,
+                                           rngs, transfer='serial')
                 per = dt / steps
                 best = per if best is None else min(best, per)
             out[label] = round(best, 4)
+
+        timed('train_s_per_iter_with_transfers')
+        timed('train_s_per_iter', resident=True)
         out['train_img_per_sec'] = round(
             batch_size / out['train_s_per_iter'], 2)
         # the device_normalize SHIPPING path (uint8 wire + on-device
         # normalization — the round-5 DefaultFormatBundle fix made it
         # real): 4x fewer bytes past the aging tunnel put, the train
         # CLI's actual configuration for bounded data time
-        for i in range(2):  # compile+warm the uint8-input program
-            state, lv, _ = step(state,
-                                bt.make_batch(rs, batch_size, SIZE,
-                                              wire='uint8'),
-                                jax.random.fold_in(rng, 950 + i))
-        _ = np.asarray(lv['loss'])
-        best = None
-        for rep in range(2):
-            batches = [bt.make_batch(rs, batch_size, SIZE,
-                                     wire='uint8')
-                       for _ in range(steps)]
-            rngs = [jax.random.fold_in(rng, 300 + rep * steps + i)
-                    for i in range(steps)]
-            dt, state = bt.timed_chain(step, state, batches, rngs,
-                                       transfer='serial')
-            per = dt / steps
-            best = per if best is None else min(best, per)
-        out['train_s_per_iter_uint8_wire'] = round(best, 4)
+        timed('train_s_per_iter_uint8_wire', wire='uint8', warm=2,
+              rng_base=300)
         # measured THIS session: the with-transfers number embeds the
         # link-of-the-moment (the tunnel swings 36-428 MB/s across
         # sessions — artifacts/transfer_r4.log), so BENCH records the

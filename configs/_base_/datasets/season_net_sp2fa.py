@@ -67,9 +67,10 @@ test_pipeline = [
 ]
 
 data = dict(
-    # ship images uint8 + normalize on-device: 4x fewer wire
-    # bytes past the (aging) host->device link — PERF.md r5;
-    # set to False to restore host-side float32 Normalize
+    # NOTE: this EO pipeline uses ClipNormalize (no 'Normalize'), so
+    # the flag defers nothing for images here — its only effect is
+    # shipping LABELS as uint8; kept for uniformity with the other
+    # UDA configs (PERF.md r5)
     device_normalize='uint8',
     samples_per_gpu=16,
     workers_per_gpu=4,

@@ -375,6 +375,10 @@ class KernelUpdateHead(nn.Module):
         (B,H,W,N) -> (new_mask (B,H,W,N), new_kernels — (B,N,C) when
         k==1, else (B,N,K*K,C))."""
         k = self.conv_kernel_size
+        assert k % 2 == 1, (
+            f'conv_kernel_size must be odd, got {k}: SAME padding '
+            'k//2 and the center-seed embedding assume a window '
+            'center')
         kk = k * k
         if kernels.ndim == 3:            # (B,N,C) == 1x1 kernels
             kernels = kernels[:, :, None, :]

@@ -15,9 +15,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def test_dryrun_multichip_inprocess():
+def test_dryrun_multichip_inprocess(monkeypatch):
     # conftest forces jax_platforms=cpu with 8 virtual devices, so the
-    # fast in-process path applies.
+    # fast in-process path applies.  Budget gating is for the DRIVER's
+    # wall clock; the gating test must exercise ALL phases — a cold
+    # compile cache would otherwise skip phase 8 (the GSPMD
+    # merged-vs-sequential guard) and silently pass.
+    monkeypatch.setenv('PFST_DRYRUN_BUDGET_S', '0')
     import __graft_entry__ as g
     g.dryrun_multichip(8)
 

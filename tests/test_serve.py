@@ -296,6 +296,37 @@ def test_serve_device_normalize_uint8_wire():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_serve_device_normalize_nested_pipeline():
+    """Shipped deploy configs nest Normalize inside
+    MultiScaleFlipAug.transforms — the --device-normalize swap must
+    find it there (regression: a top-level-only scan raised
+    StopIteration at server startup on every real config)."""
+    import serve
+    cfg = _test_cfg()
+    norm = cfg.data['test']['pipeline'][1]
+    assert norm['type'] == 'Normalize'
+    cfg.data['test']['pipeline'] = [
+        cfg.data['test']['pipeline'][0],
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[dict(norm),
+                         dict(type='ImageToTensor', keys=['img'])]),
+    ]
+    pred = serve.Predictor(cfg, device_normalize='uint8')
+    assert pred._dev_norm is not None
+    swapped = cfg.data['test']['pipeline'][1]['transforms'][0]
+    assert swapped['type'] == 'DeferNormalize'
+    assert swapped['wire_dtype'] == 'uint8'
+
+    # and a pipeline with no Normalize at all degrades to a warning,
+    # not a crash (EO-style ClipNormalize pipelines)
+    cfg2 = _test_cfg()
+    cfg2.data['test']['pipeline'] = [
+        t for t in cfg2.data['test']['pipeline']
+        if t['type'] != 'Normalize']
+    pred2 = serve.Predictor(cfg2, device_normalize='uint8')
+    assert pred2._dev_norm is None
+
+
 def test_serve_spatial_sharded_forward():
     """--spatial: each request's forward runs H-sharded over the mesh
     (huge-scene serving) and the label map matches the unsharded

@@ -46,8 +46,6 @@ from test_uda_golden_trace import TorchModel  # noqa: E402
 from test_uda_trajectory import (N_STEPS, _make_batch,  # noqa: E402
                                  torch_full_step)
 
-BASE_LR = None  # bound late from test_uda_trajectory (single source)
-
 
 def _twin_pair(seed=0):
     torch.manual_seed(seed)
@@ -104,6 +102,8 @@ def run(n_steps=N_STEPS, resync_every=2, thre_type='all'):
     masks = [(mask_rs.rand(2, tt.SIZE, tt.SIZE) > 0.5).astype(
         np.float32) for _ in range(n_steps)]
 
+    threads_a = max(2, torch.get_num_threads())
+
     def step_with_algo(mkldnn, threads, *args):
         old = torch.backends.mkldnn.enabled
         old_t = torch.get_num_threads()
@@ -120,7 +120,7 @@ def run(n_steps=N_STEPS, resync_every=2, thre_type='all'):
     report = {'segments': [], 'acc_steps': [], 'margin_steps': []}
 
     for i in range(n_steps):
-        log_a = step_with_algo(True, max(2, torch.get_num_threads()),
+        log_a = step_with_algo(True, threads_a,
                                stu_a, tea_a, batches[i], masks[i],
                                thre_type, i, opt_a)
         log_b = step_with_algo(False, 1, stu_b, tea_b, batches[i],
@@ -189,7 +189,8 @@ def run(n_steps=N_STEPS, resync_every=2, thre_type='all'):
             for s in report['margin_steps']),
         'protocol': (f'{n_steps} steps, resync every {resync_every}, '
                      f'thre_type={thre_type}, twins differ only by '
-                     'mkldnn on/off + intra-op threads 2/1'),
+                     f'mkldnn on/off + intra-op threads '
+                     f'{threads_a}/1'),
     }
     return report
 

@@ -113,11 +113,17 @@ def main():
 
         if (it + 1) % a.log_every == 0:
             seg = put_t[-a.log_every:]
+            # 'train' cadence times the put alone (block on db), so
+            # bytes/median IS bandwidth; 'serial' includes the step
+            # program + readback — report it as an upper-bound label
             bw = nbytes / np.median(seg) / 1e6
-            print(f'iter {it + 1:5d}: put+step median '
+            what = 'put' if a.cadence == 'train' else 'put+step'
+            qual = '' if a.cadence == 'train' else ' (incl. step; BW lower bound)'
+            print(f'iter {it + 1:5d}: {what} median '
                   f'{np.median(seg):.3f}s p90 '
                   f'{np.percentile(seg, 90):.3f}s '
-                  f'~{bw:.0f} MB/s, age {time.time() - t0_all:.0f}s',
+                  f'~{bw:.0f} MB/s{qual}, '
+                  f'age {time.time() - t0_all:.0f}s',
                   flush=True)
 
         if a.fresh_every and (it + 1) % a.fresh_every == 0:
@@ -163,7 +169,10 @@ def main():
                   f'({time.perf_counter() - t0:.1f}s)', flush=True)
 
     n = len(put_t)
-    print(f'\nsegment medians ({nbytes / 1e6:.0f} MB/batch):')
+    qual = '' if a.cadence == 'train' else \
+        '; serial cadence includes the step program, so MB/s is a ' \
+        'LOWER bound'
+    print(f'\nsegment medians ({nbytes / 1e6:.0f} MB/batch{qual}):')
     for s in range(0, n, 100):
         seg = put_t[s:s + 100]
         print(f'  iters {s + 1:4d}-{s + len(seg):4d}: median '

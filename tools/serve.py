@@ -111,6 +111,27 @@ class _MicroBatcher:
                         fut.set_exception(e)
 
 
+def _swap_normalize(node, wire):
+    """Recursively swap the first Normalize for DeferNormalize —
+    real deploy configs nest it inside MultiScaleFlipAug's
+    ``transforms`` list, not at the pipeline's top level."""
+    if isinstance(node, dict):
+        if node.get('type') == 'Normalize':
+            node['type'] = 'DeferNormalize'
+            node['wire_dtype'] = wire
+            return node
+        for v in node.values():
+            found = _swap_normalize(v, wire)
+            if found is not None:
+                return found
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            found = _swap_normalize(v, wire)
+            if found is not None:
+                return found
+    return None
+
+
 class Predictor:
     """Checkpointed segmentor with a shape-keyed jit cache."""
 
@@ -136,16 +157,20 @@ class Predictor:
         if device_normalize:
             wire = device_normalize if isinstance(device_normalize,
                                                   str) else 'uint8'
-            pipe = self.model.cfg.data['test']['pipeline']
-            norm = next(t for t in pipe
-                        if t.get('type') == 'Normalize')
-            norm['type'] = 'DeferNormalize'
-            norm['wire_dtype'] = wire
-            import jax.numpy as jnp
-            mean = jnp.asarray(norm['mean'], jnp.float32)
-            std = jnp.asarray(norm['std'], jnp.float32)
-            self._dev_norm = jax.jit(
-                lambda im: (im.astype(jnp.float32) - mean) / std)
+            norm = _swap_normalize(
+                self.model.cfg.data['test']['pipeline'], wire)
+            if norm is None:
+                # e.g. EO pipelines (ClipNormalize): nothing to defer
+                print('warning: --device-normalize: no Normalize '
+                      'transform in the test pipeline; serving with '
+                      'the host-side pipeline unchanged',
+                      file=sys.stderr)
+            else:
+                import jax.numpy as jnp
+                mean = jnp.asarray(norm['mean'], jnp.float32)
+                std = jnp.asarray(norm['std'], jnp.float32)
+                self._dev_norm = jax.jit(
+                    lambda im: (im.astype(jnp.float32) - mean) / std)
         if self.variables is None:  # smoke-serving without a checkpoint
             import jax.numpy as jnp
             rng = jax.random.PRNGKey(seed)
