@@ -185,11 +185,35 @@ def _single_gpu_test_body(model, variables, data_loader, pre_eval,
                    for img in imgs]
         return dev, metas
 
+    # deferred-normalize pipelines (DeferNormalize, e.g. tools/test.py
+    # --device-normalize) ship uint8/f16 wire images — 4x/2x fewer
+    # bytes through the host->device put (PERF.md round 5: the put
+    # path ages in long-lived processes); the metas self-describe it,
+    # so normalization runs here as one tiny jitted device program.
+    # (With --spatial the savings don't apply: normalization happens
+    # before the spatially-sharded placement.)
+    dev_norm = None
+
+    def _maybe_dev_norm(metas):
+        cfgn = (metas[0].get('img_norm_cfg') or {}) \
+            if metas else {}
+        if not cfgn.get('deferred'):
+            return None
+        mean = jnp.asarray(np.asarray(cfgn['mean']), jnp.float32)
+        std = jnp.asarray(np.asarray(cfgn['std']), jnp.float32)
+        return jax.jit(
+            lambda im: (im.astype(jnp.float32) - mean) / std)
+
     nxt = fetch(0) if n else None
+    if n:
+        dev_norm = _maybe_dev_norm(
+            nxt[1] if isinstance(nxt[1], list) else [nxt[1]])
     for idx in range(n):
         dev_imgs, metas = nxt
         ori_shape = metas[0]['ori_shape'][:2]
         metas_l = metas if isinstance(metas, list) else [metas]
+        if dev_norm is not None:
+            dev_imgs = [dev_norm(img) for img in dev_imgs]
         view_probs = [infer(variables, img) for img in dev_imgs]
         if idx + 1 < n:
             nxt = fetch(idx + 1)

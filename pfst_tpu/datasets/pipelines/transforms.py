@@ -396,6 +396,29 @@ class DeferNormalize:
                                        deferred=True)
         return results
 
+    @staticmethod
+    def swap_into(node, wire='uint8'):
+        """Recursively swap the first ``Normalize`` in a pipeline cfg
+        tree for ``DeferNormalize`` (deploy/test configs nest it
+        inside ``MultiScaleFlipAug.transforms``).  Returns the swapped
+        transform dict, or ``None`` when the tree has no Normalize
+        (e.g. EO ``ClipNormalize`` pipelines)."""
+        if isinstance(node, dict):
+            if node.get('type') == 'Normalize':
+                node['type'] = 'DeferNormalize'
+                node['wire_dtype'] = wire
+                return node
+            for v in node.values():
+                found = DeferNormalize.swap_into(v, wire)
+                if found is not None:
+                    return found
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                found = DeferNormalize.swap_into(v, wire)
+                if found is not None:
+                    return found
+        return None
+
     def __repr__(self):
         return (f'{self.__class__.__name__}(mean={self.mean.tolist()},'
                 f' std={self.std.tolist()}, to_rgb={self.to_rgb}, '

@@ -164,3 +164,75 @@ def test_spatial_eval_pads_nondivisible(eval_setup):
     ref = np.asarray(
         make_inference_fn(model)(variables, padded))[:, :40]
     np.testing.assert_allclose(out_sp, ref, atol=1e-5)
+
+
+def test_single_gpu_eval_deferred_uint8_wire(tmp_path):
+    """tools/test.py --device-normalize: the eval pipeline ships
+    uint8 wire images (metas carry ``img_norm_cfg.deferred``) and
+    single_gpu_test normalizes on device — results match the
+    host-normalized pipeline on integer-valued inputs (allowing a
+    few tie pixels: XLA may fuse (x-mean)/std differently than
+    numpy)."""
+    import copy
+
+    import cv2
+    import jax.numpy as jnp
+
+    from pfst_tpu.apis import single_gpu_test
+    from pfst_tpu.datasets import build_dataloader, build_dataset
+    from pfst_tpu.datasets.pipelines import DeferNormalize
+    from pfst_tpu.models import build_segmentor
+
+    root = tmp_path / 'eval_wire'
+    rs = np.random.RandomState(11)
+    os.makedirs(root / 'img_dir' / 'val')
+    os.makedirs(root / 'ann_dir' / 'val')
+    for i in range(4):
+        cv2.imwrite(str(root / 'img_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 255, (40, 40, 3), np.uint8))
+        cv2.imwrite(str(root / 'ann_dir' / 'val' / f'x{i}.png'),
+                    rs.randint(0, 7, (40, 40)).astype(np.uint8))
+    pipeline = [
+        dict(type='LoadImageFromFile'),
+        dict(type='MultiScaleFlipAug', img_scale=(40, 40), flip=False,
+             transforms=[
+                 dict(type='Resize', keep_ratio=True),
+                 dict(type='Normalize', **IMG_NORM),
+                 dict(type='ImageToTensor', keys=['img']),
+                 dict(type='Collect', keys=['img']),
+             ])
+    ]
+    wire_pipeline = copy.deepcopy(pipeline)
+    assert DeferNormalize.swap_into(wire_pipeline, 'uint8') is not None
+
+    def run(pipe):
+        ds = build_dataset(dict(
+            type='ISPRSDataset', data_root=str(root),
+            img_dir='img_dir/val', ann_dir='ann_dir/val',
+            gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+            pipeline=pipe, test_mode=True))
+        loader = build_dataloader(ds, 1, 1, shuffle=False)
+        # the wire dtype must actually reach the sample
+        s = ds[0]
+        img0 = s['img'][0] if isinstance(s['img'], list) else s['img']
+        model = build_segmentor(tiny_model_cfg())
+        variables = jax.jit(
+            lambda r, im: model.init({'params': r}, im,
+                                     train=False))(
+                jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
+        res = single_gpu_test(model, variables, loader, pre_eval=True,
+                              progress=False)
+        return img0.dtype, res, ds
+
+    dt_host, res_host, ds_h = run(pipeline)
+    dt_wire, res_wire, ds_w = run(wire_pipeline)
+    assert dt_host == np.float32
+    assert dt_wire == np.uint8
+    for a, b in zip(res_host, res_wire):
+        for x, y in zip(a, b):
+            diff = int(np.abs(np.asarray(x, np.int64)
+                              - np.asarray(y, np.int64)).sum())
+            assert diff <= 6, f'histograms differ by {diff} pixels'
+    m_h = ds_h.evaluate(res_host, metric='mIoU')['mIoU']
+    m_w = ds_w.evaluate(res_wire, metric='mIoU')['mIoU']
+    assert abs(m_h - m_w) < 0.005, (m_h, m_w)

@@ -115,21 +115,8 @@ def _swap_normalize(node, wire):
     """Recursively swap the first Normalize for DeferNormalize —
     real deploy configs nest it inside MultiScaleFlipAug's
     ``transforms`` list, not at the pipeline's top level."""
-    if isinstance(node, dict):
-        if node.get('type') == 'Normalize':
-            node['type'] = 'DeferNormalize'
-            node['wire_dtype'] = wire
-            return node
-        for v in node.values():
-            found = _swap_normalize(v, wire)
-            if found is not None:
-                return found
-    elif isinstance(node, (list, tuple)):
-        for v in node:
-            found = _swap_normalize(v, wire)
-            if found is not None:
-                return found
-    return None
+    from pfst_tpu.datasets.pipelines import DeferNormalize
+    return DeferNormalize.swap_into(node, wire)
 
 
 class Predictor:

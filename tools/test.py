@@ -43,6 +43,13 @@ def parse_args(args=None):
                         help='static activation-scale JSON from '
                              'tools/calibrate_int8.py (default: '
                              'dynamic in-trace scales)')
+    parser.add_argument('--device-normalize', nargs='?', const='uint8',
+                        default=None, choices=['uint8', 'float16'],
+                        help='ship eval images over the host->device '
+                             'link in the 0-255 domain and normalize '
+                             'on device (uint8 = 4x fewer bytes; '
+                             'bit-exact for integer-valued inputs, '
+                             'sub-LSB rounding after float resizes)')
     parser.add_argument('--spatial', type=int, default=0,
                         help='shard each whole-image forward\'s H'
                              ' axis over this many devices (GSPMD'
@@ -77,6 +84,15 @@ def main(args=None):
         tta = cfg.data['test']['pipeline'][1]
         tta['img_ratios'] = [0.5, 0.75, 1.0, 1.25, 1.5, 1.75]
         tta['flip'] = True
+
+    if args.device_normalize:
+        # narrow the eval wire (single_gpu_test detects the deferred
+        # pipeline from the metas and normalizes on device)
+        from pfst_tpu.datasets.pipelines import DeferNormalize
+        if DeferNormalize.swap_into(cfg.data['test']['pipeline'],
+                                    args.device_normalize) is None:
+            print('warning: --device-normalize: no Normalize in the '
+                  'test pipeline; running unchanged', file=sys.stderr)
 
     from pfst_tpu.utils.set_env import setup_environment
     setup_environment(cfg)
