@@ -332,6 +332,22 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
     flushes = 0
     done = 0
 
+    # deferred-normalize pipelines ship uint8/f16 wire images (see
+    # single_gpu_test): transfer the narrow batch, then normalize it
+    # on-device as one tiny sharded program before inference
+    dev_norm = {'fn': None}
+
+    def _wire_norm(batch, meta):
+        cfgn = meta.get('img_norm_cfg') or {}
+        if not cfgn.get('deferred') or batch.dtype == jnp.float32:
+            return batch
+        if dev_norm['fn'] is None:
+            mean = jnp.asarray(np.asarray(cfgn['mean']), jnp.float32)
+            std = jnp.asarray(np.asarray(cfgn['std']), jnp.float32)
+            dev_norm['fn'] = jax.jit(
+                lambda b: (b.astype(jnp.float32) - mean) / std)
+        return dev_norm['fn'](batch)
+
     def finalize(idx):
         views = [jnp.asarray(probs_by_item.pop((idx, v)))[None]
                  for v in range(view_counts[idx])]
@@ -350,6 +366,7 @@ def multi_gpu_test(model, variables, data_loader, pre_eval=True,
         batch_items = bucket + [bucket[-1]] * pad
         batch = np.stack([im for (_, _, im, _, _) in batch_items])
         batch = jax.device_put(jnp.asarray(batch), sharding)
+        batch = _wire_norm(batch, batch_items[0][3])
         flushes += 1
         if batch_items[0][4] is not None:
             # histogram path: every item carries its gt

@@ -844,7 +844,22 @@ def evaluate_during_train(cfg, algo, state, eval_cfg, logger,
     # (every 4k iters the reference reuses its loader too)
     cached = _VAL_CACHE.get(id(cfg))
     if cached is None:
-        val_ds = build_dataset({**cfg.data['val'], 'test_mode': True})
+        val_cfg = {**cfg.data['val'], 'test_mode': True}
+        wire = cfg.data.get('device_normalize_eval')
+        if wire:
+            # opt-in narrow wire for the in-train eval sweeps (the
+            # train batches already default to it): swap Normalize ->
+            # DeferNormalize; single_gpu_test detects the deferred
+            # metas and normalizes on device. Kept opt-in because the
+            # reference-parity eval contract is host-side float32.
+            import copy as _copy
+
+            from ..datasets.pipelines import DeferNormalize
+            val_cfg = _copy.deepcopy(val_cfg)
+            DeferNormalize.swap_into(
+                val_cfg.get('pipeline'),
+                wire if isinstance(wire, str) else 'uint8')
+        val_ds = build_dataset(val_cfg)
         loader = build_dataloader(val_ds, 1, 1, shuffle=False)
         _VAL_CACHE.clear()  # one live training run at a time
         _VAL_CACHE[id(cfg)] = (val_ds, loader)

@@ -222,17 +222,50 @@ def test_single_gpu_eval_deferred_uint8_wire(tmp_path):
                 jax.random.PRNGKey(0), jnp.zeros((1, 40, 40, 3)))
         res = single_gpu_test(model, variables, loader, pre_eval=True,
                               progress=False)
-        return img0.dtype, res, ds
+        return img0.dtype, res, ds, model, variables, loader
 
-    dt_host, res_host, ds_h = run(pipeline)
-    dt_wire, res_wire, ds_w = run(wire_pipeline)
+    dt_host, res_host, ds_h, _, _, _ = run(pipeline)
+    dt_wire, res_wire, ds_w, model_w, vars_w, loader_w = \
+        run(wire_pipeline)
     assert dt_host == np.float32
     assert dt_wire == np.uint8
-    for a, b in zip(res_host, res_wire):
-        for x, y in zip(a, b):
-            diff = int(np.abs(np.asarray(x, np.int64)
-                              - np.asarray(y, np.int64)).sum())
-            assert diff <= 6, f'histograms differ by {diff} pixels'
+
+    def hist_close(res_a, res_b, what):
+        for a, b in zip(res_a, res_b):
+            for x, y in zip(a, b):
+                diff = int(np.abs(np.asarray(x, np.int64)
+                                  - np.asarray(y, np.int64)).sum())
+                assert diff <= 6, f'{what}: histograms differ ' \
+                                  f'by {diff} pixels'
+
+    hist_close(res_host, res_wire, 'single-device wire')
     m_h = ds_h.evaluate(res_host, metric='mIoU')['mIoU']
     m_w = ds_w.evaluate(res_wire, metric='mIoU')['mIoU']
     assert abs(m_h - m_w) < 0.005, (m_h, m_w)
+
+    # the sharded path normalizes the wire batch inside the mesh
+    # program (multi_gpu_test._wire_norm)
+    from pfst_tpu.apis import multi_gpu_test
+    res_multi = multi_gpu_test(model_w, vars_w, loader_w,
+                               pre_eval=True, progress=False)
+    hist_close(res_host, res_multi, 'multi-device wire')
+
+    # and the in-train evaluator's opt-in config key wires through
+    from pfst_tpu.apis.train import (SupervisedTrainer,
+                                     evaluate_during_train)
+    from pfst_tpu.utils.config import Config
+    import optax
+    ds_cfg = dict(
+        type='ISPRSDataset', data_root=str(root),
+        img_dir='img_dir/val', ann_dir='ann_dir/val',
+        gt_seg_map_loader_cfg=dict(reduce_zero_label=True),
+        pipeline=copy.deepcopy(pipeline))
+    cfg = Config(dict(
+        data=dict(device_normalize_eval='uint8', val=ds_cfg),
+        evaluation=dict(metric='mIoU', pre_eval=True)))
+    algo = SupervisedTrainer(build_segmentor(tiny_model_cfg()))
+    state = algo.init_state(jax.random.PRNGKey(0), (1, 40, 40, 3),
+                            optax.sgd(0.1))
+    m_train_eval = evaluate_during_train(
+        cfg, algo, state, cfg.evaluation, None)['mIoU']
+    assert abs(m_train_eval - m_h) < 0.005, (m_train_eval, m_h)
